@@ -1,0 +1,189 @@
+"""Deterministic synthetic-fixture generator for the interleaved documents table.
+
+Implements FIXTURES.md §1 + §5: seeded, no wall clock, no uuid4 — doc ids
+are sha256 of (seed, index).  Span mix ≈ 70% text / 10% html / 10% pdf /
+10% image; offsets are dense 0..n-1 per doc but spans are stored in
+SHUFFLED order so tests prove offset-sorted reassembly; a configurable
+fraction of docs are "heavy" (hundreds of spans — the multi-thousand-page
+analogue that motivates skew salting); error fixtures cover truncated PDFs,
+oversized payloads, and null media_refs.
+
+The per-doc generator ``gen_doc(seed, idx, profile)`` is a pure function of
+its arguments, so fixture tables can be built either on the driver (tests)
+or distributed via ``spark.range(n).mapInPandas`` (bench scale) with
+identical content.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import random
+from dataclasses import dataclass
+
+from .functions import pdfmini
+
+_WORDS = (
+    "analysis baseline catalyst dataframe executor filter graph hash "
+    "iceberg join kernel lineage merge nested order partition query row "
+    "schema shuffle span stream table union vector window extract layout "
+    "segment column page document media pipeline checkpoint resume skew"
+).split()
+
+_SENTENCE_LENS = (4, 6, 8, 11, 15)
+
+
+@dataclass(frozen=True)
+class FixtureProfile:
+    """Scale + shape knobs (FIXTURES.md §1 'scale knobs')."""
+    spans_min: int = 3
+    spans_max: int = 10
+    heavy_every: int = 50          # every k-th doc is heavy
+    heavy_spans_min: int = 150
+    heavy_spans_max: int = 400
+    pdf_pages_max: int = 4
+    error_every: int = 25          # every k-th doc gets one error span (0=off)
+    two_column_prob: float = 0.25
+    image_page_prob: float = 0.2
+
+
+SMOKE = FixtureProfile()
+#: tiny docs for quick unit tests
+TINY = FixtureProfile(spans_min=2, spans_max=5, heavy_every=10,
+                      heavy_spans_min=40, heavy_spans_max=80, error_every=7)
+#: bench profile: no error docs (uniform work), moderate heavies
+BENCH = FixtureProfile(error_every=0, heavy_every=100,
+                       heavy_spans_min=100, heavy_spans_max=250)
+
+
+def doc_id_for(seed: int, idx: int) -> str:
+    return hashlib.sha256(f"{seed}:{idx}".encode()).hexdigest()
+
+
+def _sentence(rng: random.Random) -> str:
+    n = rng.choice(_SENTENCE_LENS)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + "."
+
+
+def _paragraph(rng: random.Random, nmin: int = 1, nmax: int = 4) -> str:
+    return " ".join(_sentence(rng) for _ in range(rng.randint(nmin, nmax)))
+
+
+def _html_payload(rng: random.Random) -> str:
+    paras = "".join(f"<p>{_paragraph(rng)}</p>"
+                    for _ in range(rng.randint(1, 3)))
+    heading = f"<h2>{_sentence(rng)}</h2>" if rng.random() < 0.5 else ""
+    li = "".join(f"<li>Item {i} &amp; more</li>" for i in range(rng.randint(0, 3)))
+    lst = f"<ul>{li}</ul>" if li else ""
+    return (
+        "<!DOCTYPE html><html><head><title>Fixture</title>"
+        "<style>body{color:red}</style>"
+        "<script>var tracking = 'evil';</script></head><body>"
+        f"<nav><a href='/'>Home</a><a href='/x'>X</a></nav>"
+        f"<header><h1>Site Chrome</h1></header>"
+        f"<div class='sidebar'><p>ads ads ads</p></div>"
+        f"<main><article>{heading}{paras}{lst}</article></main>"
+        f"<div id='cookie-banner'>Accept cookies?</div>"
+        f"<footer>&copy; 2026 fixture corp</footer>"
+        "</body></html>"
+    )
+
+
+def _pdf_payload(rng: random.Random, profile: FixtureProfile) -> str:
+    n_pages = rng.randint(1, profile.pdf_pages_max)
+    pages = []
+    for _ in range(n_pages):
+        if rng.random() < profile.image_page_prob:
+            img = bytes(rng.getrandbits(8) for _ in range(64))
+            pages.append({"image": img})
+            continue
+        runs = []
+        two_col = rng.random() < profile.two_column_prob
+        n_lines = rng.randint(2, 6)
+        for li in range(n_lines):
+            y = 720.0 - 20.0 * li
+            if two_col:
+                runs.append((50.0, y, _sentence(rng)))
+                runs.append((330.0, y, _sentence(rng)))
+            else:
+                runs.append((72.0, y, _sentence(rng)))
+        pages.append({"runs": runs})
+    raw = pdfmini.write_pdf(pages, compress=rng.random() < 0.5)
+    return base64.b64encode(raw).decode("ascii")
+
+
+def gen_doc(seed: int, idx: int, profile: FixtureProfile = SMOKE
+            ) -> tuple[str, list[tuple[str, str | None, str | None, int]]]:
+    """Generate one document: (doc_id, [(kind, text, media_ref, offset), ...]).
+
+    Spans come back in shuffled storage order; offsets are dense 0..n-1.
+    """
+    did = doc_id_for(seed, idx)
+    rng = random.Random(f"{seed}:{idx}:spans")
+    heavy = profile.heavy_every and (idx % profile.heavy_every == profile.heavy_every - 1)
+    n = (rng.randint(profile.heavy_spans_min, profile.heavy_spans_max) if heavy
+         else rng.randint(profile.spans_min, profile.spans_max))
+    spans: list[tuple[str, str | None, str | None, int]] = []
+    for off in range(n):
+        r = rng.random()
+        if r < 0.70:
+            spans.append(("text", _paragraph(rng), None, off))
+        elif r < 0.80:
+            spans.append(("html", _html_payload(rng), None, off))
+        elif r < 0.90:
+            spans.append(("pdf", _pdf_payload(rng, profile), None, off))
+        else:
+            spans.append(("image", None, f"mediaref://{did}/{off}", off))
+    # error fixtures (FIXTURES.md §5) — replace one span deterministically
+    if profile.error_every and idx % profile.error_every == profile.error_every - 2:
+        off = rng.randrange(n)
+        which = idx % 3
+        if which == 0:   # truncated / malformed pdf
+            good = _pdf_payload(rng, profile)
+            spans[off] = ("pdf", good[: len(good) // 3], None, off)
+        elif which == 1:  # oversized payload (caller sets a small guard in tests)
+            spans[off] = ("pdf",
+                          base64.b64encode(b"%PDF-1.4" + b"\x00" * 200_000).decode(),
+                          None, off)
+        else:            # unclassifiable image span
+            spans[off] = ("image", None, None, off)
+    rng.shuffle(spans)
+    return did, spans
+
+
+def gen_rows(seed: int, n_docs: int, profile: FixtureProfile = SMOKE):
+    """Yield (doc_id, spans) rows; spans as list of dicts (Spark Row-friendly)."""
+    for idx in range(n_docs):
+        did, spans = gen_doc(seed, idx, profile)
+        yield did, [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in spans
+        ]
+
+
+def fixture_df(spark, seed: int, n_docs: int, profile: FixtureProfile = SMOKE,
+               n_partitions: int | None = None):
+    """Distributed fixture build: spark.range → mapInPandas(gen per index).
+
+    Generation happens on executors (each task materializes only its own
+    index range), so bench-scale tables never pass through the driver.
+    """
+    import pandas as pd
+    from .schemas import DOCUMENTS_SCHEMA
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                did, spans = gen_doc(seed, int(idx), profile)
+                rows.append({
+                    "doc_id": did,
+                    "spans": [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                              for (k, t, m, o) in spans],
+                })
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(0, n_docs, numPartitions=n_partitions or max(2, n_docs // 500))
+    return rng.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)

@@ -1,0 +1,623 @@
+"""pdfmini — a minimal, dependency-free PDF writer and byte-stream tokenizer.
+
+The reference renders PDF pages with PyMuPDF and ships the pixels to a
+model endpoint (``processors/ocr.py:27-57``, ``clients/claude.py:40-108``).
+Per the north star, this engine instead performs *batched PDF byte-stream
+tokenization* in pure Python: xref-table walk, page-tree traversal, and
+content-stream operator decoding, yielding positioned text runs that the
+layout segmenter (``segment.py``) orders into page text.
+
+Supported subset (everything the fixture writer emits, plus slack):
+
+- classic cross-reference tables, including ``/Prev`` chains;
+- indirect objects, dictionaries, arrays, names, numbers, booleans, null,
+  literal strings (with escapes + octal), hex strings, references;
+- streams with integer or indirect ``/Length``; ``/FlateDecode`` filter
+  (zlib is stdlib — no dependency);
+- page trees with nested ``/Pages`` nodes; ``/Contents`` as a single ref
+  or an array of refs;
+- text operators ``BT ET Tf Td TD Tm T* Tj TJ ' "`` with a
+  translation-only text matrix (what our writer emits; ``Tm`` is honored
+  for its e/f translation terms);
+- image XObjects referenced by ``Do`` (used to detect image-only pages for
+  the OCR-fallback path).
+
+Anything outside the subset raises :class:`PdfError`; the extraction stage
+converts that into a ``status='failed'`` row and the pipeline continues —
+the reference's error contract (``processors/ocr.py:132-148``).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+
+class PdfError(ValueError):
+    """Raised for any PDF the tokenizer cannot parse."""
+
+
+# ===========================================================================
+# Object model
+# ===========================================================================
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+@dataclass
+class Run:
+    """One positioned text show-operation."""
+    x: float
+    y: float
+    text: str
+
+
+@dataclass
+class Page:
+    runs: list[Run] = field(default_factory=list)
+    image_bytes: list[bytes] = field(default_factory=list)  # XObject streams drawn via Do
+
+
+# ===========================================================================
+# Lexer / object parser
+# ===========================================================================
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                return
+
+    def peek(self, k: int = 1) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos:self.pos + k]
+
+    def _read_token(self) -> bytes:
+        """Read a bare token (number / keyword)."""
+        self._skip_ws()
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            raise PdfError(f"unexpected delimiter at byte {start}")
+        return d[start:self.pos]
+
+    # -- object grammar ----------------------------------------------------
+
+    def parse_object(self):
+        self._skip_ws()
+        if self.pos >= len(self.data):
+            raise PdfError("unexpected EOF")
+        c = self.data[self.pos:self.pos + 1]
+        if c == b"/":
+            return self._parse_name()
+        if c == b"(":
+            return self._parse_literal_string()
+        if c == b"<":
+            if self.data[self.pos:self.pos + 2] == b"<<":
+                return self._parse_dict()
+            return self._parse_hex_string()
+        if c == b"[":
+            return self._parse_array()
+        tok = self._read_token()
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # number — or the start of an indirect reference "N G R"
+        try:
+            num = int(tok)
+        except ValueError:
+            try:
+                return float(tok)
+            except ValueError as e:
+                raise PdfError(f"bad token {tok!r} at byte {self.pos}") from e
+        # lookahead for "G R"
+        save = self.pos
+        try:
+            tok2 = self._read_token()
+            gen = int(tok2)
+            tok3 = self._read_token()
+            if tok3 == b"R":
+                return Ref(num, gen)
+        except (PdfError, ValueError):
+            pass
+        self.pos = save
+        return num
+
+    def _parse_name(self) -> str:
+        assert self.data[self.pos:self.pos + 1] == b"/"
+        self.pos += 1
+        start = self.pos
+        d, n = self.data, len(self.data)
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        # #xx hex escapes in names
+        if b"#" in raw:
+            raw = re.sub(rb"#([0-9A-Fa-f]{2})",
+                         lambda m: bytes([int(m.group(1), 16)]), raw)
+        return raw.decode("latin-1")
+
+    def _parse_literal_string(self) -> bytes:
+        assert self.data[self.pos:self.pos + 1] == b"("
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                       0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+                if e in esc:
+                    out.append(esc[e]); self.pos += 1
+                elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                    oct_digits = bytearray()
+                    while (self.pos < n and len(oct_digits) < 3
+                           and 0x30 <= d[self.pos] <= 0x37):
+                        oct_digits.append(d[self.pos]); self.pos += 1
+                    out.append(int(oct_digits.decode(), 8) & 0xFF)
+                elif e in (0x0A, 0x0D):  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e); self.pos += 1
+            elif c == 0x28:
+                depth += 1; out.append(c); self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c); self.pos += 1
+        raise PdfError("unterminated literal string")
+
+    def _parse_hex_string(self) -> bytes:
+        assert self.data[self.pos:self.pos + 1] == b"<"
+        self.pos += 1
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            raise PdfError("unterminated hex string")
+        hx = re.sub(rb"\s", b"", self.data[self.pos:end])
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError as e:
+            raise PdfError("bad hex string") from e
+
+    def _parse_array(self) -> list:
+        assert self.data[self.pos:self.pos + 1] == b"["
+        self.pos += 1
+        out = []
+        while True:
+            self._skip_ws()
+            if self.pos >= len(self.data):
+                raise PdfError("unterminated array")
+            if self.data[self.pos:self.pos + 1] == b"]":
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_dict(self) -> dict:
+        assert self.data[self.pos:self.pos + 2] == b"<<"
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos:self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            if self.data[self.pos:self.pos + 1] != b"/":
+                raise PdfError(f"dict key must be a name at byte {self.pos}")
+            key = self._parse_name()
+            out[key] = self.parse_object()
+
+
+# ===========================================================================
+# Document parser: xref walk → objects → page tree → content streams
+# ===========================================================================
+
+class PdfDocument:
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF header")
+        self.data = data
+        self._cache: dict[tuple[int, int], object] = {}
+        self.xref: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._load_xref()
+
+    # -- xref --------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("no startxref")
+        pos = int(m.group(1))
+        seen = set()
+        while True:
+            if pos in seen or pos >= len(self.data):
+                raise PdfError("bad xref chain")
+            seen.add(pos)
+            trailer = self._parse_xref_section(pos)
+            if not self.trailer:
+                self.trailer = trailer
+            prev = trailer.get("Prev")
+            if prev is None:
+                break
+            pos = int(prev)
+        if "Root" not in self.trailer:
+            raise PdfError("trailer has no /Root")
+
+    def _parse_xref_section(self, pos: int) -> dict:
+        lex = _Lexer(self.data, pos)
+        tok = lex._read_token()
+        if tok != b"xref":
+            raise PdfError(f"expected 'xref' at byte {pos}")
+        while True:
+            lex._skip_ws()
+            if self.data[lex.pos:lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                return lex.parse_object()
+            start = int(lex._read_token())
+            count = int(lex._read_token())
+            lex._skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos:lex.pos + 20]
+                em = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
+                if not em:
+                    raise PdfError(f"bad xref entry at byte {lex.pos}")
+                if em.group(3) == b"n":
+                    objnum = start + i
+                    # first-seen wins (later sections in a /Prev chain are older)
+                    self.xref.setdefault(objnum, int(em.group(1)))
+                # entries are 20 bytes, but tolerate 19/20 via regex-anchored advance
+                lex.pos += 20 if entry[18:20] in (b"\r\n", b" \n", b" \r") else 19
+
+    # -- objects -----------------------------------------------------------
+
+    def resolve(self, obj):
+        while isinstance(obj, Ref):
+            obj = self._load_object(obj)
+        return obj
+
+    def _load_object(self, ref: Ref):
+        key = (ref.num, ref.gen)
+        if key in self._cache:
+            return self._cache[key]
+        off = self.xref.get(ref.num)
+        if off is None or off >= len(self.data):
+            raise PdfError(f"object {ref.num} not in xref")
+        lex = _Lexer(self.data, off)
+        num = int(lex._read_token())
+        gen = int(lex._read_token())
+        kw = lex._read_token()
+        if num != ref.num or kw != b"obj":
+            raise PdfError(f"xref offset for obj {ref.num} is wrong")
+        obj = lex.parse_object()
+        # stream?
+        lex._skip_ws()
+        if self.data[lex.pos:lex.pos + 6] == b"stream":
+            if not isinstance(obj, dict):
+                raise PdfError("stream without dict")
+            p = lex.pos + 6
+            if self.data[p:p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p:p + 1] == b"\n":
+                p += 1
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int):
+                raise PdfError("stream /Length missing")
+            raw = self.data[p:p + length]
+            obj = _Stream(obj, raw)
+        self._cache[key] = obj
+        return obj
+
+    # -- page tree ---------------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        if not isinstance(root, dict):
+            raise PdfError("bad catalog")
+        pages_ref = root.get("Pages")
+        if pages_ref is None:
+            raise PdfError("catalog has no /Pages")
+        out: list[dict] = []
+        self._walk_pages(pages_ref, out, depth=0)
+        return out
+
+    def _walk_pages(self, node_ref, out: list, depth: int) -> None:
+        if depth > 32:
+            raise PdfError("page tree too deep")
+        node = self.resolve(node_ref)
+        if not isinstance(node, dict):
+            raise PdfError("bad page-tree node")
+        t = node.get("Type")
+        if t == "Pages" or (t is None and "Kids" in node):
+            for kid in self.resolve(node.get("Kids", [])):
+                self._walk_pages(kid, out, depth + 1)
+        elif t == "Page":
+            out.append(node)
+        else:
+            raise PdfError(f"unexpected page-tree node type {t!r}")
+
+    def content_bytes(self, page: dict) -> bytes:
+        contents = page.get("Contents")
+        if contents is None:
+            return b""
+        contents = self.resolve(contents)
+        parts = contents if isinstance(contents, list) else [contents]
+        out = bytearray()
+        for part in parts:
+            st = self.resolve(part)
+            if not isinstance(st, _Stream):
+                raise PdfError("/Contents is not a stream")
+            out += st.decoded()
+            out += b"\n"
+        return bytes(out)
+
+    def xobject_streams(self, page: dict) -> dict[str, bytes]:
+        res = self.resolve(page.get("Resources", {})) or {}
+        xob = self.resolve(res.get("XObject", {})) or {}
+        out = {}
+        for name, ref in xob.items():
+            st = self.resolve(ref)
+            if isinstance(st, _Stream):
+                out[name] = st.raw  # raw (possibly compressed) bytes: identity input
+        return out
+
+
+class _Stream:
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+    def decoded(self) -> bytes:
+        filt = self.dict.get("Filter")
+        if filt is None:
+            return self.raw
+        filters = filt if isinstance(filt, list) else [filt]
+        data = self.raw
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise PdfError("bad FlateDecode stream") from e
+            else:
+                raise PdfError(f"unsupported filter {f!r}")
+        return data
+
+
+# ===========================================================================
+# Content-stream tokenizer → positioned runs
+# ===========================================================================
+
+def _decode_pdf_text(raw: bytes) -> str:
+    return raw.decode("latin-1")
+
+
+def parse_content(content: bytes) -> tuple[list[Run], list[str]]:
+    """Decode a content stream into positioned text runs + names drawn by Do.
+
+    Postfix token stream: operands accumulate until an operator consumes
+    them.  Text positioning follows the PDF model restricted to translation:
+    ``Td``/``TD`` translate the line matrix, ``Tm`` sets it (e/f terms),
+    ``T*`` advances by the leading, ``BT`` resets.
+    """
+    lex = _Lexer(content)
+    operands: list = []
+    runs: list[Run] = []
+    do_names: list[str] = []
+    lx = ly = 0.0          # line-matrix translation
+    cx = cy = 0.0          # current text position
+    leading = 0.0
+    in_text = False
+
+    def show(raw: bytes) -> None:
+        nonlocal cx
+        txt = _decode_pdf_text(raw)
+        if txt:
+            runs.append(Run(cx, cy, txt))
+        # crude advance so consecutive Tj on one line keep left-to-right x order
+        cx += 0.5 * 12 * len(txt) / 10
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(content):
+            break
+        c = content[lex.pos:lex.pos + 1]
+        if c in b"/(<[":  # name / string / hex-or-dict / array operand
+            operands.append(lex.parse_object())
+            continue
+        tok = lex._read_token()
+        try:
+            operands.append(int(tok))
+            continue
+        except ValueError:
+            pass
+        try:
+            operands.append(float(tok))
+            continue
+        except ValueError:
+            pass
+        op = tok
+        if op == b"BT":
+            in_text = True
+            lx = ly = cx = cy = 0.0
+            leading = 0.0
+        elif op == b"ET":
+            in_text = False
+        elif op == b"Td" and len(operands) >= 2:
+            lx += float(operands[-2]); ly += float(operands[-1])
+            cx, cy = lx, ly
+        elif op == b"TD" and len(operands) >= 2:
+            leading = -float(operands[-1])
+            lx += float(operands[-2]); ly += float(operands[-1])
+            cx, cy = lx, ly
+        elif op == b"Tm" and len(operands) >= 6:
+            lx, ly = float(operands[-2]), float(operands[-1])
+            cx, cy = lx, ly
+        elif op == b"T*":
+            ly -= leading if leading else 12.0
+            cx, cy = lx, ly
+        elif op == b"TL" and operands:
+            leading = float(operands[-1])
+        elif op == b"Tj" and operands and in_text:
+            if isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op == b"'" and operands and in_text:
+            ly -= leading if leading else 12.0
+            cx, cy = lx, ly
+            if isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op == b'"' and len(operands) >= 3 and in_text:
+            ly -= leading if leading else 12.0
+            cx, cy = lx, ly
+            if isinstance(operands[-1], bytes):
+                show(operands[-1])
+        elif op == b"TJ" and operands and in_text:
+            arr = operands[-1]
+            if isinstance(arr, list):
+                parts = [p for p in arr if isinstance(p, bytes)]
+                show(b"".join(parts))
+        elif op == b"Do" and operands and isinstance(operands[-1], str):
+            do_names.append(operands[-1])
+        # all other operators (q Q cm Tf re f gs w ...) consume silently
+        operands = []
+    return runs, do_names
+
+
+def parse_pdf(data: bytes) -> list[Page]:
+    """Full pipeline: bytes → ordered pages with positioned runs + drawn images."""
+    doc = PdfDocument(data)
+    pages: list[Page] = []
+    for pg in doc.pages():
+        content = doc.content_bytes(pg)
+        runs, do_names = parse_content(content)
+        xobs = doc.xobject_streams(pg)
+        imgs = [xobs[n] for n in do_names if n in xobs]
+        pages.append(Page(runs=runs, image_bytes=imgs))
+    return pages
+
+
+# ===========================================================================
+# Writer — synthesizes fixture PDFs (valid xref, page tree, Flate streams)
+# ===========================================================================
+
+def _escape_pdf_string(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        o = ord(ch)
+        if ch in "()\\":
+            out += b"\\" + ch.encode("latin-1")
+        elif 32 <= o < 127:
+            out.append(o)
+        elif o < 256:
+            out += b"\\%03o" % o
+        else:  # non-latin1: drop to '?' (fixtures stay latin-1)
+            out.append(0x3F)
+    return bytes(out)
+
+
+def write_pdf(pages: list[dict], compress: bool = True) -> bytes:
+    """Build a minimal valid PDF.
+
+    ``pages`` is a list of dicts:
+      ``{"runs": [(x, y, text), ...]}``            — a text page, or
+      ``{"image": b"..."} ``                       — an image-only page
+        (stub XObject stream drawn via ``Do``; exercises OCR fallback).
+    """
+    objects: list[bytes] = []   # 1-indexed bodies (without "N 0 obj" wrapper)
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    page_nums: list[int] = []
+    pages_node_placeholder = add(b"")  # patched later
+    for pg in pages:
+        if "image" in pg:
+            img = pg["image"]
+            img_num = add(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                          b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>"
+                          b"\nstream\n%s\nendstream" % (len(img), img))
+            content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+            res = b"<< /XObject << /Im1 %d 0 R >> >>" % img_num
+        else:
+            parts = [b"BT /F1 12 Tf"]
+            px = py = 0.0
+            for (x, y, text) in pg.get("runs", []):
+                parts.append(b"%.2f %.2f Td (%s) Tj"
+                             % (x - px, y - py, _escape_pdf_string(text)))
+                px, py = x, y
+            parts.append(b"ET")
+            content = b" ".join(parts)
+            res = b"<< /Font << /F1 %d 0 R >> >>" % font_num
+        if compress:
+            cdata = zlib.compress(content)
+            cs_num = add(b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                         % (len(cdata), cdata))
+        else:
+            cs_num = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                         % (len(content), content))
+        pnum = add(b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                   b"/Contents %d 0 R /Resources %s >>"
+                   % (pages_node_placeholder, cs_num, res))
+        page_nums.append(pnum)
+
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objects[pages_node_placeholder - 1] = (
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums)))
+    catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node_placeholder)
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_pos = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objects) + 1, catalog_num, xref_pos))
+    return bytes(buf)

@@ -1,0 +1,121 @@
+"""Per-partition checkpoint lineage + idempotent resume.
+
+North-rule mandate: "resumable from checkpoint with per-partition lineage +
+metrics".  Reference analogues: the run-state table
+(``managers/state.py:22-73`` — one row per *run*) and the streaming
+checkpoint (``handlers/autoloader.py:104``); this module generalizes both
+to **bucket granularity**: work is hashed into
+``pmod(xxhash64(doc_id), n_buckets)`` buckets, each bucket gets a lineage
+row with extraction metrics when its results land, and a restarted run
+anti-joins pending work against done buckets.
+
+Write-then-mark ordering gives crash safety: results for a bucket are
+committed *before* the bucket is marked done, so a crash between the two
+re-extracts that bucket; deterministic ``result_id``s make the rerun
+byte-identical and ``dedup_results`` collapses duplicates on read
+(SURVEY.md §4.2.3).  No overwrite-in-place anywhere — the reference's
+full-table-rewrite update (``managers/state.py:64-73``) is replaced by an
+append-only log + latest-wins reads.
+"""
+
+from __future__ import annotations
+
+import secrets
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import ExtractConfig
+from ..operators.extract import bucket_col
+from ..schemas import CHECKPOINT_SCHEMA
+from ..sources.tables import TableIO
+
+CHECKPOINT_TABLE = "extraction_checkpoint"
+
+
+def new_run_id() -> str:
+    return "run-" + secrets.token_hex(8)
+
+
+class CheckpointManager:
+    def __init__(self, io: TableIO, cfg: ExtractConfig):
+        self.io = io
+        self.cfg = cfg
+        self.spark: SparkSession = io.spark
+
+    # -- read side ---------------------------------------------------------
+
+    def done_buckets(self, input_fingerprint: str) -> DataFrame:
+        """Distinct buckets already marked done for this work set."""
+        cp = self.io.read(CHECKPOINT_TABLE)
+        if cp is None:
+            return self.spark.createDataFrame([], "bucket int")
+        return (cp.filter((F.col("input_fingerprint") == input_fingerprint)
+                          & (F.col("status") == "done"))
+                  .select("bucket").distinct())
+
+    def filter_pending(self, documents: DataFrame,
+                       input_fingerprint: str) -> DataFrame:
+        """documents (+bucket col) minus docs in done buckets.
+
+        The done-bucket set is ≤ n_buckets rows → **broadcast left_anti**
+        join: no shuffle of the (huge) documents side, the scale-correct
+        replacement for the reference's collect-then-isin anti-pattern
+        (``processors/ocr.py:67-70``, SURVEY.md §2.2 P3).
+        """
+        with_bucket = documents.withColumn(
+            "bucket", bucket_col(self.cfg.n_buckets))
+        done = self.done_buckets(input_fingerprint)
+        return with_bucket.join(F.broadcast(done), "bucket", "left_anti")
+
+    def run_history(self, k: int = 10) -> DataFrame:
+        """Latest runs with aggregate metrics (reference:
+        ``managers/state.py:106-132`` orderBy+limit top-k)."""
+        cp = self.io.read(CHECKPOINT_TABLE)
+        if cp is None:
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return (cp.groupBy("run_id")
+                  .agg(F.max("updated_at").alias("run_timestamp"),
+                       F.count("*").alias("buckets_done"),
+                       F.sum("docs_done").alias("docs_done"),
+                       F.sum("pages_parsed").alias("pages_parsed"),
+                       F.sum("ocr_fallbacks").alias("ocr_fallbacks"),
+                       F.sum("span_count").alias("span_count"),
+                       F.sum("failed_spans").alias("failed_spans"))
+                  .orderBy(F.desc("run_timestamp"))
+                  .limit(k))
+
+    # -- write side --------------------------------------------------------
+
+    def mark_from_results(self, results: DataFrame, run_id: str,
+                          input_fingerprint: str, duration_ms: int) -> None:
+        """Aggregate per-bucket metrics from a results DataFrame and append
+        one 'done' lineage row per bucket (map-side partial agg → tiny
+        shuffle → tiny write)."""
+        metrics = (
+            results.withColumn("bucket", bucket_col(self.cfg.n_buckets))
+            .groupBy("bucket")
+            .agg(
+                F.countDistinct("doc_id").alias("docs_done"),
+                F.countDistinct(F.concat_ws(":", "doc_id", "offset")).alias("spans_in"),
+                F.sum("pages_parsed").cast("long").alias("pages_parsed"),
+                F.sum(F.col("ocr_fallback").cast("long")).alias("ocr_fallbacks"),
+                F.sum((F.col("status") == "success").cast("long")).alias("span_count"),
+                F.sum((F.col("status") == "failed").cast("long")).alias("failed_spans"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(input_fingerprint).alias("input_fingerprint"),
+                F.col("bucket"),
+                F.lit("done").alias("status"),
+                F.col("docs_done").cast("long"),
+                F.col("spans_in").cast("long"),
+                F.coalesce(F.col("pages_parsed"), F.lit(0)).alias("pages_parsed"),
+                F.coalesce(F.col("ocr_fallbacks"), F.lit(0)).alias("ocr_fallbacks"),
+                F.coalesce(F.col("span_count"), F.lit(0)).alias("span_count"),
+                F.coalesce(F.col("failed_spans"), F.lit(0)).alias("failed_spans"),
+                F.lit(duration_ms).cast("long").alias("duration_ms"),
+                F.lit(self.cfg.to_json()).alias("config_json"),
+                F.current_timestamp().alias("updated_at"),
+            )
+        )
+        self.io.append(metrics, CHECKPOINT_TABLE)

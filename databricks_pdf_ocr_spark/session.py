@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Replaces the reference's Databricks Connect session factory
+(``config.py:177-202``) with a plain ``SparkSession.builder`` suitable for
+``spark-submit --py-files`` on any cluster, plus local[N] for tests/bench.
+
+Scale-relevant defaults:
+- AQE on (runtime partition coalescing + skew-join splitting);
+- Arrow enabled, with ``maxRecordsPerBatch`` bounded low because document
+  payloads are multi-KB..MB — batches must be bounded by bytes in flight,
+  not row count (SURVEY.md §4.2.4);
+- shuffle partitions sized to the machine, not the 200 default;
+- session timezone pinned UTC so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "databricks_pdf_ocr_spark",
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 256,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", cores))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    if master:
+        b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,130 @@
+"""Table IO — Iceberg when available, Parquet-directory fallback.
+
+The north rule targets Iceberg tables; this container has no Iceberg
+runtime jar (SURVEY.md §7), so ``TableIO`` presents one narrow API —
+``read / append / overwrite / exists`` — with two interchangeable
+backends.  Engine code never branches on the backend.
+
+Reference analogues: ``spark.table`` scans (``processors/ocr.py:63-79``),
+``df.write.mode("append").saveAsTable`` (``processors/ocr.py:192``,
+``managers/state.py:42``), DDL at ``schemas.py:66-127``.
+
+At 10^12-doc scale the results table must be partitioned so that resume,
+metrics, and downstream scans prune: we partition by the checkpoint
+``bucket`` column (Iceberg: identity-partition + hidden partitioning would
+do the same).  Appends are atomic-enough for the resume contract because
+result ids are deterministic and readers dedup on ``result_id``
+(write-then-mark, dedup-on-read — SURVEY.md §4.2.3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog is on the classpath + configured."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe only
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return spark.conf.get("spark.sql.catalog.local", None) is not None
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Parquet-directory table namespace rooted at ``base_path``."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        os.makedirs(base_path, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        return any(f.endswith(".parquet") or f.startswith("bucket=")
+                   or "=" in f for f in os.listdir(p)) or bool(os.listdir(p))
+
+    def read(self, name: str) -> DataFrame | None:
+        if not self.exists(name):
+            return None
+        return self.spark.read.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str,
+               partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def overwrite(self, df: DataFrame, name: str,
+                  partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self.path(name), ignore_errors=True)
+
+
+class IcebergTableIO(TableIO):
+    """Iceberg-backed variant (same API) for clusters with the runtime jar.
+
+    Uses DataFrameWriterV2 (``writeTo``): ``createOrReplace`` for
+    overwrite, ``append`` for append — the Iceberg-native replacements for
+    the reference's ``saveAsTable`` calls (SURVEY.md §2.1 S5/S6).
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str = "local.engine"):
+        self.spark = spark
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+
+    def path(self, name: str) -> str:  # identifier, not a filesystem path
+        return f"{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self.path(name))
+
+    def read(self, name: str) -> DataFrame | None:
+        if not self.exists(name):
+            return None
+        return self.spark.table(self.path(name))
+
+    def append(self, df: DataFrame, name: str,
+               partition_by: list[str] | None = None) -> None:
+        if not self.exists(name):
+            w = df.writeTo(self.path(name))
+            if partition_by:
+                from pyspark.sql import functions as F
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.create()
+        else:
+            df.writeTo(self.path(name)).append()
+
+    def overwrite(self, df: DataFrame, name: str,
+                  partition_by: list[str] | None = None) -> None:
+        w = df.writeTo(self.path(name))
+        if partition_by:
+            from pyspark.sql import functions as F
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+
+    def drop(self, name: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+
+
+def make_table_io(spark: SparkSession, base_path: str) -> TableIO:
+    """Pick Iceberg when configured, else Parquet directories."""
+    if iceberg_available(spark):
+        return IcebergTableIO(spark)
+    return TableIO(spark, base_path)

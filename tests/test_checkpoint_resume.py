@@ -1,0 +1,106 @@
+"""Checkpoint lineage + idempotent resume (north rule: 'resumable from
+checkpoint with per-partition lineage + metrics')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_pdf_ocr_spark import fixtures
+from databricks_pdf_ocr_spark.config import TEST_CONFIG
+from databricks_pdf_ocr_spark.operators.extract import (
+    bucket_col, dedup_results, reassemble, run_extraction,
+)
+from databricks_pdf_ocr_spark.plans.checkpoint import (
+    CHECKPOINT_TABLE, CheckpointManager, new_run_id,
+)
+from databricks_pdf_ocr_spark.schemas import DOCUMENTS_SCHEMA
+from databricks_pdf_ocr_spark.sources.tables import TableIO
+from tools.goldens import golden_extract
+
+SEED = 7
+N_DOCS = 40
+FP = "test-fingerprint"
+
+
+@pytest.fixture()
+def env(spark, tmp_tables):
+    io = TableIO(spark, tmp_tables)
+    cp = CheckpointManager(io, TEST_CONFIG)
+    rows = list(fixtures.gen_rows(SEED, N_DOCS, fixtures.TINY))
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    return io, cp, rows, df
+
+
+def _process(io, cp, pending, tag):
+    results = run_extraction(pending.select("doc_id", "spans"), TEST_CONFIG)
+    results = results.withColumn("bucket", bucket_col(TEST_CONFIG.n_buckets))
+    io.append(results, "extraction_results", partition_by=["bucket"])
+    pend_buckets = pending.select("bucket").distinct()
+    written = (io.read("extraction_results")
+               .join(F.broadcast(pend_buckets), "bucket", "left_semi"))
+    cp.mark_from_results(dedup_results(written), new_run_id(), FP, 1)
+
+
+def test_kill_and_resume_equals_single_run(env):
+    io, cp, rows, df = env
+
+    # run 1 "crashes" after processing only 3 of the buckets
+    pending1 = cp.filter_pending(df, FP)
+    subset = (pending1.select("bucket").distinct().orderBy("bucket").limit(3))
+    part1 = pending1.join(F.broadcast(subset), "bucket", "left_semi")
+    _process(io, cp, part1, "run1")
+
+    done_after_1 = {r[0] for r in cp.done_buckets(FP).collect()}
+    assert len(done_after_1) == 3
+
+    # resume: only the remaining buckets are pending
+    pending2 = cp.filter_pending(df, FP)
+    pend_buckets = {r[0] for r in pending2.select("bucket").distinct().collect()}
+    assert pend_buckets.isdisjoint(done_after_1)
+    _process(io, cp, pending2, "run2")
+
+    # nothing pending afterwards
+    assert cp.filter_pending(df, FP).count() == 0
+
+    # final output == golden (crash did not lose or duplicate anything)
+    assembled = reassemble(dedup_results(io.read("extraction_results")))
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in r["spans"]]
+           for r in assembled.collect()}
+    gold = {k: v for k, v in golden_extract(rows, TEST_CONFIG).items() if v}
+    assert got == gold
+
+
+def test_double_process_one_bucket_is_idempotent(env):
+    """Crash *between* write and mark: bucket extracted twice → dedup-on-read
+    collapses to exactly one copy."""
+    io, cp, rows, df = env
+    pending = cp.filter_pending(df, FP)
+    one = pending.select("bucket").distinct().orderBy("bucket").limit(1)
+    part = pending.join(F.broadcast(one), "bucket", "left_semi")
+
+    # write results WITHOUT marking (simulated crash), then full run
+    results = run_extraction(part.select("doc_id", "spans"), TEST_CONFIG) \
+        .withColumn("bucket", bucket_col(TEST_CONFIG.n_buckets))
+    io.append(results, "extraction_results", partition_by=["bucket"])
+    _process(io, cp, cp.filter_pending(df, FP), "full")
+
+    all_results = io.read("extraction_results")
+    assert all_results.count() > dedup_results(all_results).count()
+    assembled = reassemble(dedup_results(all_results))
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in r["spans"]]
+           for r in assembled.collect()}
+    gold = {k: v for k, v in golden_extract(rows, TEST_CONFIG).items() if v}
+    assert got == gold
+
+
+def test_run_history_topk(env):
+    io, cp, rows, df = env
+    _process(io, cp, cp.filter_pending(df, FP), "r")
+    hist = cp.run_history(10).collect()
+    assert len(hist) == 1
+    assert hist[0]["docs_done"] == N_DOCS
+    # lineage carries per-bucket metrics rows
+    cp_rows = io.read(CHECKPOINT_TABLE)
+    assert cp_rows.filter(F.col("status") == "done").count() > 0
+    assert cp_rows.select("config_json").first()[0].startswith("{")
