@@ -1,0 +1,112 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries + the extraction pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extras carried in the same line: ``docs_per_sec`` (extraction throughput,
+the north metric) and ``extract_docs``.  Scaling-efficiency evidence
+(N vs 4N cores) is produced by ``jobs/bench_scaling.py`` → BENCH/BASELINE.md.
+
+The extraction input is the deterministic fixture table materialized once
+to /tmp (generation — PDF writing, zlib — is itself expensive and must not
+pollute extraction timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from databricks_pdf_ocr_spark import fixtures
+from databricks_pdf_ocr_spark.config import ExtractConfig
+from databricks_pdf_ocr_spark.operators.extract import (
+    dedup_results, reassemble, run_extraction,
+)
+from databricks_pdf_ocr_spark.queries import QUERIES
+from databricks_pdf_ocr_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "window_latest_event",
+    "sessionize", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "embed_cosine_topk", "ann_lsh_topk", "lang_id", "text_quality",
+    "token_count", "doc_fingerprint", "span_reassembly",
+]
+
+BENCH_SEED = 42
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_docs_for(sf: float) -> int:
+    return max(200, int(20000 * sf))
+
+
+def ensure_fixture_input(spark, n_docs: int) -> str:
+    path = f"/tmp/spark_graft_bench_input_{BENCH_SEED}_{n_docs}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = fixtures.fixture_df(spark, BENCH_SEED, n_docs, fixtures.BENCH,
+                                 n_partitions=max(8, n_docs // 250))
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench",
+                      shuffle_partitions=cpus, arrow_batch_rows=256)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]["fn"]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # extraction throughput (north metric): fixture input → full pipeline
+    n_docs = bench_docs_for(sf)
+    input_path = ensure_fixture_input(spark, n_docs)
+    cfg = ExtractConfig(n_buckets=64, shuffle_partitions=cpus,
+                        arrow_batch_rows=256)
+    t0 = time.time()
+    docs = spark.read.parquet(input_path)
+    assembled = reassemble(dedup_results(run_extraction(docs, cfg)))
+    extracted = assembled.count()
+    extract_sec = round(time.time() - t0, 3)
+    timings["extract_pipeline"] = extract_sec
+    docs_per_sec = round(extracted / extract_sec, 2)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_docs": extracted,
+        "docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference's only dedup is SHA-256 content hashing (volsync upload skip,
+``packages/volsync/src/volsync/volume_sync.py:167-191``, and the
+``content_hash`` column, ``handlers/autoloader.py:87``).  A 100 TB
+training-data pipeline needs the full ladder, implemented here Spark-first:
+
+- **exact**: hash-groupBy on ``sha2(text)`` — one shuffle, map-side
+  partial agg for free;
+- **n-gram Jaccard**: shingle-explode → equi-join on shingle → per-pair
+  overlap counts (exact but quadratic in shared shingles — use for
+  verification or after candidate generation);
+- **MinHash + LSH**: k min-hash signatures (min over lexicographic
+  sha2(seed:shingle) — engine-portable, no custom hash needed) → banded
+  buckets → candidate pairs from same-bucket joins.  This is the scale
+  path: cost is linear in corpus size + bucket-collision pairs;
+- **SimHash**: 32-bit sign-aggregated token hashes; near-dups = small
+  Hamming distance (``bit_count(xor)``).
+
+Everything is built-in ``pyspark.sql.functions`` (JVM, codegen) — no UDFs.
+All hash choices (sha2 hex, ``conv`` hex→int) are chosen to be bit-identical
+in DuckDB SQL so every operator has an independent oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# shared shingling
+# ---------------------------------------------------------------------------
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty when < n tokens).
+
+    Guarded: Spark's ``sequence(1, 0)`` auto-steps backwards instead of
+    yielding an empty array, so short docs take the explicit empty branch.
+    """
+    toks = tokens_col(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, canonical_id, n_dups).
+
+    canonical_id = min(id) is the keep-one representative.  Scale: single
+    hash-aggregate shuffle on a 64-hex key; skew-free (hash keys uniform).
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count("*").cast("long").alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for all candidate pairs.
+
+    Plan: explode distinct shingles → self-equi-join on shingle (Catalyst
+    picks SMJ/shuffled-hash; AQE splits skewed shingles) → count overlap →
+    join per-doc shingle counts (broadcast — it's |docs| rows of 2 ints) →
+    |A∩B| / (|A|+|B|-|A∩B|).  Emits (doc_a < doc_b, jaccard).
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles_col(text_col, n)).alias("shingle"))
+            .distinct())
+    sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        overlap
+        .join(F.broadcast(sizes.withColumnRenamed("id", "doc_a")
+                          .withColumnRenamed("n_sh", "sh_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "doc_b")
+                          .withColumnRenamed("n_sh", "sh_b")), "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_common")
+                            / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text_col: str = "text", n: int = 3,
+                      k: int = 8) -> list[Column]:
+    """k min-hash values: min_lex(sha2(f"{seed}:{shingle}")) per seed.
+
+    Lexicographic min over hex digests is a valid min-hash family (each
+    seed defines an independent uniform permutation-ish ordering) and is
+    reproducible in any engine with sha256 — no Murmur/xxhash parity issues.
+    """
+    sh = shingles_col(text_col, n)
+
+    def hasher(seed: int):
+        prefix = f"{seed}:"
+        # single-arg lambda on purpose: a two-parameter lambda (even with a
+        # default) makes F.transform pass the element INDEX as the 2nd arg
+        return lambda x: F.sha2(F.concat(F.lit(prefix), x), 256)
+
+    return [
+        F.array_min(F.transform(sh, hasher(s))).alias(f"mh{s}")
+        for s in range(k)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3, k: int = 8,
+                      bands: int = 4) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    k signatures split into ``bands`` bands of r = k/bands rows; docs
+    agreeing on any full band collide.  Plan: signatures (narrow, per-row)
+    → posexplode(band digests) → groupBy-join on (band_idx, band_hash) —
+    the classic linear-scale near-dup pipeline (vs the quadratic
+    shingle join).  Empty-shingle docs (< n tokens) are excluded: their
+    null signatures would otherwise all-collide.
+    """
+    r = k // bands
+    assert bands * r == k, "k must divide into equal bands"
+    sig = df.select(F.col(id_col).alias("id"),
+                    *minhash_signature(text_col, n, k)) \
+            .filter(F.col("mh0").isNotNull())
+    band_cols = [
+        F.sha2(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]), 256)
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", F.posexplode(F.array(*band_cols))
+                        .alias("band_idx", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document: (id, simhash bigint).
+
+    token hash = first 8 hex chars of sha256 → int32-range; bit i of the
+    fingerprint is the sign of Σ_tokens (2·bit_i(h) − 1).  Plan: explode
+    tokens → one hash per row → groupBy doc with ``bits`` conditional sums
+    (all codegen) → recombine bits.  Ties (sum == 0) round DOWN to 0 —
+    deterministic and engine-portable.
+    """
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(tokens_col(text_col)).alias("t"))
+    h = F.expr("cast(conv(substr(sha2(t, 256), 1, 8), 16, 10) as bigint)")
+    tok = tok.select("id", h.alias("h"))
+    sums = tok.groupBy("id").agg(*[
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"s{i}")
+        for i in range(bits)
+    ])
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select("id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation: split the 32-bit fingerprint into
+    ``max_hamming + 1`` chunks — any pair within the distance budget agrees
+    on ≥1 whole chunk (pigeonhole), so equi-join on (chunk_idx, chunk
+    value) finds all true pairs without a cross join; a final
+    ``bit_count(xor)`` filter removes false positives.
+    """
+    chunks = max_hamming + 1
+    width = 32 // chunks
+    sh = simhash(df, id_col, text_col)
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1)).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    ex = sh.select("id", "simhash",
+                   F.posexplode(F.array(*chunk_cols)).alias("ci", "cv"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

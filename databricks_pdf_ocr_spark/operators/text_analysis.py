@@ -1,0 +1,114 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure column expressions (``pyspark.sql.functions`` — JVM codegen, zero
+Python in the hot path), each with an exact DuckDB-SQL twin for oracle
+checking.  These are the corpus-curation stages a 100 TB training-data
+pipeline runs between extraction and dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import shingles_col, tokens_col
+
+# n-gram-heuristic language ID: marker-token hit counts per language.
+# Deterministic argmax with lexicographic tie-break on the language code.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2"),
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
+
+
+def _in_set(values: tuple[str, ...]):
+    # single-arg lambda factory (two-parameter lambdas get the element index)
+    return lambda t: t.isin(*values)
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    toks = tokens_col(text_col)
+    return [
+        F.size(F.filter(toks, _in_set(markers)))
+        .cast("long").alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, predicted_lang, best_score): argmax marker hits, ties → lex-min lang."""
+    scored = df.select(F.col(id_col), *lang_scores(text_col))
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = None
+    for la in reversed(langs):  # reversed so earlier langs win ties
+        cond = F.when(F.col(f"score_{la}") == best, F.lit(la))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("best_score"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1].
+
+    Features follow the classic curation heuristics: length, mean word
+    length, punctuation density, stopword ratio.  The composite is a
+    deterministic arithmetic blend — portable to SQL for the oracle.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    avg_word_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
+    punct = F.size(F.split(F.col(text_col), r"[.,;:!?]")) - 1
+    punct_ratio = F.round(punct / n_chars, 6)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, _in_set(_STOPWORDS))) / n_tokens, 6)
+    # composite emitted as floor-scaled micro-units: identical IEEE-double
+    # expression trees are bit-deterministic across engines, while decimal
+    # round() implementations differ in the last digit
+    raw_score = (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least((F.size(F.filter(toks, _in_set(_STOPWORDS))) / n_tokens) * 5,
+                  F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least((punct / n_chars) * 20, F.lit(1.0))) * 0.3)
+    score_e6 = F.floor(raw_score * 1e6 + F.lit(0.5)).cast("long")
+    return df.select(
+        F.col(id_col), n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
+        avg_word_len.alias("avg_word_len"), punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"), score_e6.alias("quality_score_e6"))
+
+
+#: BPE-ish pre-tokenizer: letter runs | single digits | single punctuation
+BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    ws = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_RE}', 0)")) \
+        .cast("long")
+    return df.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 5, keep: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``keep`` lexicographically
+    smallest sha2 digests over word n-gram shingles, concatenated.
+
+    Robust to small edits (only windows overlapping the edit change) —
+    the rolling-hash fingerprint used for fuzzy containment detection.
+    """
+    hashes = F.transform(shingles_col(text_col, n), lambda s: F.sha2(s, 256))
+    fp = F.concat_ws("", F.slice(F.array_sort(hashes), 1, keep))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,626 @@
+"""Query registry: every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a (Spark callable, DuckDB oracle SQL)
+pair over the driver's parquet testdata.
+
+Contract (task brief): each ``queries()`` entry takes (spark, sf_dir) and
+returns a DataFrame; ``oracle_sql()`` holds ANSI SQL DuckDB runs on the
+same tables; the driver hash-compares values with columns sorted by name —
+so every computed column is identically aliased on both sides.  Floating
+aggregates are rounded on both sides to absorb summation-order differences.
+
+Operator ↔ SURVEY.md §2 mapping is noted per query (P/A/L/W/F/S ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from .operators import dedup, similarity, text_analysis
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = {"fn": fn, "sql": sql}
+        return fn
+    return deco
+
+
+# ===========================================================================
+# Relational core (SURVEY.md §2.2-2.8)
+# ===========================================================================
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                    AS sum_qty,
+       round(sum(l_extendedprice), 2)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       round(avg(l_quantity), 4)                                    AS avg_qty,
+       round(avg(l_discount), 4)                                    AS avg_disc,
+       CAST(count(*) AS BIGINT)                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — grouped multi-aggregate (A2); one hash-agg shuffle
+    with map-side partial aggregation; filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").cast("long").alias("count_order")))
+
+
+@register("q3_shipping_priority", """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape — selective dim join + fact agg + top-k (L2).
+    customer is broadcast (small side); lineitem joins shuffle on orderkey;
+    TakeOrderedAndProject avoids a global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+@register("filter_rlike", """
+SELECT doc_id, n_chars FROM documents
+WHERE regexp_matches(text, 'merge (join|sort)')
+""")
+def filter_rlike(spark, sf_dir):
+    """P1 — regex predicate filter (reference: autoloader.py:73 pdf-extension
+    rlike)."""
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").rlike("merge (join|sort)"))
+            .select("doc_id", "n_chars"))
+
+
+@register("project_hash_extract", """
+SELECT doc_id,
+       sha256(text)                          AS content_hash,
+       regexp_extract(source, '([0-9]+)$', 1) AS src_num
+FROM documents
+""")
+def project_hash_extract(spark, sf_dir):
+    """P2/F1/F2 — computed projection: sha2 content hash + regexp_extract
+    (reference: autoloader.py:78-87 file_id/basename derivation)."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.sha2(F.col("text"), 256).alias("content_hash"),
+                    F.regexp_extract("source", "([0-9]+)$", 1).alias("src_num")))
+
+
+@register("anti_join_unprocessed", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def anti_join_unprocessed(spark, sf_dir):
+    """P3 — left_anti join: the scale-correct replacement for the
+    reference's collect-then-isin NOT-IN (processors/ocr.py:67-70)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("semi_join_specific", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'MACHINERY')
+""")
+def semi_join_specific(spark, sf_dir):
+    """P4 — left_semi join (reference reprocess-specific isin,
+    processors/ocr.py:79-81, generalized to a join for large id sets)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+            .select("o_orderkey", "o_totalprice"))
+
+
+@register("distinct_ids", """
+SELECT DISTINCT o_custkey FROM orders
+""")
+def distinct_ids(spark, sf_dir):
+    """A1 — DISTINCT via hash aggregate (reference: results.select(file_id)
+    .distinct(), processors/ocr.py:67-68) — stays distributed, no collect."""
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@register("exists_any_flag", """
+SELECT l_orderkey,
+       CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS has_return
+FROM lineitem GROUP BY l_orderkey
+""")
+def exists_any_flag(spark, sf_dir):
+    """A3 — EXISTS/ANY per group (reference: 'file succeeded if any page
+    succeeded', processors/ocr.py:178)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                 .cast("long").alias("has_return")))
+
+
+@register("collect_sorted_lines", """
+SELECT l_orderkey,
+       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_numbers
+FROM lineitem GROUP BY l_orderkey
+""")
+def collect_sorted_lines(spark, sf_dir):
+    """A4 — ordered collect_list: the span-reassembly primitive
+    (array_sort(collect_list) ensures order regardless of arrival —
+    SURVEY.md §4.2.2)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.array_join(
+                F.transform(F.array_sort(F.collect_list("l_linenumber")),
+                            lambda x: x.cast("string")), ",")
+                .alias("line_numbers")))
+
+
+@register("slice_first_lines", """
+SELECT l_orderkey,
+       array_to_string((list(l_linenumber ORDER BY l_linenumber))[1:3], ',')
+         AS first_lines
+FROM lineitem GROUP BY l_orderkey
+""")
+def slice_first_lines(spark, sf_dir):
+    """L4 — array slice (reference page-cap truncation images[:n],
+    processors/ocr.py:106-107 → F.slice)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.array_join(
+                F.transform(F.slice(F.array_sort(F.collect_list("l_linenumber")), 1, 3),
+                            lambda x: x.cast("string")), ",")
+                .alias("first_lines")))
+
+
+@register("window_latest_event", """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""")
+def window_latest_event(spark, sf_dir):
+    """W (SURVEY.md §2.5) — latest-per-key dedup window, the latest-wins
+    read replacing the reference's overwrite-update (managers/state.py:64-73)."""
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (_t(spark, sf_dir, "events")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+@register("topk_users", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+""")
+def topk_users(spark, sf_dir):
+    """L1/L2 — orderBy+limit top-k (reference run-history,
+    managers/state.py:79-83,108-113) — compiles to TakeOrderedAndProject."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+            .orderBy(F.desc("n_events"), F.asc("user_id")).limit(10))
+
+
+@register("union_entities", """
+SELECT CAST(c_custkey AS BIGINT) AS entity_id, c_name AS name,
+       'customer' AS entity_kind FROM customer
+UNION ALL
+SELECT CAST(s_suppkey AS BIGINT) AS entity_id, s_name AS name,
+       'supplier' AS entity_kind FROM supplier
+""")
+def union_entities(spark, sf_dir):
+    """§2.7 — unionByName (metrics/lineage row assembly across stages)."""
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.col("c_custkey").cast("long").alias("entity_id"),
+                 F.col("c_name").alias("name"),
+                 F.lit("customer").alias("entity_kind")))
+    s = (_t(spark, sf_dir, "supplier")
+         .select(F.col("s_suppkey").cast("long").alias("entity_id"),
+                 F.col("s_name").alias("name"),
+                 F.lit("supplier").alias("entity_kind")))
+    return c.unionByName(s)
+
+
+@register("case_when_priority", """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+            WHEN o_totalprice > 200000 THEN 'large-open'
+            ELSE 'open' END AS status_label
+FROM orders
+""")
+def case_when_priority(spark, sf_dir):
+    """P5/P6/F5 — conditional column rewrite (reference when/otherwise state
+    update loop, managers/state.py:64-68)."""
+    return (_t(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.when(F.col("o_orderstatus") == "F", "finished")
+                    .when(F.col("o_totalprice") > 200000, "large-open")
+                    .otherwise("open").alias("status_label")))
+
+
+@register("json_props", """
+SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k_value
+FROM events
+""")
+def json_props(spark, sf_dir):
+    """F7 — JSON decode (reference json.dumps/loads config blob,
+    managers/state.py:36,97 → engine-side get_json_object)."""
+    return (_t(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").alias("k_value")))
+
+
+@register("sessionize", """
+SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events)))
+GROUP BY user_id
+""")
+def sessionize(spark, sf_dir):
+    """Sessionization — gap>30min lag/cumsum windows (the batch twin of
+    streaming session_window; guide 'Common OLAP patterns')."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "is_new",
+        F.when(F.col("prev_ts").isNull()
+               | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                  > 1_800_000_000),
+               1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.countDistinct("session_id").cast("long").alias("n_sessions")))
+
+
+# ===========================================================================
+# Training-data pipeline operators
+# ===========================================================================
+
+@register("dedup_exact", """
+SELECT sha256(text) AS content_hash,
+       min(doc_id)  AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY sha256(text)
+""")
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks
+)
+"""
+
+
+@register("dedup_ngram_jaccard", _SHINGLES_CTE + """
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id)
+, overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM overlap
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=3, threshold=0.12)
+
+
+def _minhash_sql(k: int = 8, bands: int = 4) -> str:
+    r = k // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, x -> sha256('{s}:' || x))) AS mh{s}"
+        for s in range(k))
+    band_exprs = ", ".join(
+        "sha256(" + " || '|' || ".join(f"mh{b * r + i}" for i in range(r))
+        + f") AS band{b}" for b in range(bands))
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), shing AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                i -> array_to_string(t[i:i+2], ' ')) AS sh
+  FROM toks WHERE len(t) >= 3
+), sig AS (SELECT doc_id, {mh} FROM shing),
+bandsx AS (SELECT doc_id, {band_exprs} FROM sig),
+bexp AS (
+  SELECT doc_id, u.band_idx, u.band_hash FROM bandsx,
+  LATERAL (SELECT * FROM (VALUES {", ".join(f"({b}, band{b})" for b in range(bands))})
+           AS v(band_idx, band_hash)) u
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bexp a JOIN bexp b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   n=3, k=8, bands=4)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"CAST(sum(((h >> {i}) & 1) * 2 - 1) AS BIGINT) AS s{i}"
+        for i in range(bits))
+    combine = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+), hashed AS (
+  SELECT id, CAST(('0x' || substr(sha256(t), 1, 8)) AS BIGINT) AS h FROM tok
+), sums AS (SELECT id, {sums} FROM hashed GROUP BY id)
+SELECT id, CAST({combine} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs", None)  # pair-join variant: rows-only check
+def dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_COS = """
+list_sum(list_transform(range(1, len(a.embedding) + 1),
+         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))
+"""
+
+
+@register("embed_cosine_topk", f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_COS}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND b.vec_id != a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+""")
+def embed_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, q, k=5, qid_col="query_id") \
+        .withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("embed_cosine_neardup", f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS}, 6) >= 0.8
+""")
+def embed_cosine_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"),
+                                           threshold=0.8)
+
+
+@register("ann_lsh_topk", None)  # hyperplane LSH: rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.lsh_ann_topk(emb, q, k=5, dim=dim)
+
+
+def _lang_sql() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(t, x -> x IN ("
+        + ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[la])
+        + f"))) AS BIGINT) AS score_{la}"
+        for la in langs)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{la} = best THEN '{la}'" for la in langs) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), scored AS (SELECT doc_id, {score_cols} FROM toks),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, {case} AS predicted_lang, best AS best_score FROM withbest
+"""
+
+
+@register("lang_id", _lang_sql())
+def lang_id(spark, sf_dir):
+    return text_analysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register("text_quality", """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS punct
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_tokens, n_chars, punct,
+         CAST(len(list_filter(t,
+              x -> x IN ('the','a','and','of','to','is','in','it','that','for')))
+              AS BIGINT) AS n_stop
+  FROM base)
+SELECT doc_id, n_tokens, n_chars,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_word_len,
+       round(punct / n_chars, 6) AS punct_ratio,
+       round(n_stop / n_tokens, 6) AS stopword_ratio,
+       CAST(floor((least(n_tokens / 200.0, 1.0) * 0.4
+             + least((n_stop / n_tokens) * 5, 1.0) * 0.3
+             + (1.0 - least((punct / n_chars) * 20, 1.0)) * 0.3) * 1e6 + 0.5)
+            AS BIGINT) AS quality_score_e6
+FROM feat
+""")
+def text_quality(spark, sf_dir):
+    return text_analysis.quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register("token_count", f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{text_analysis.BPE_RE}')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+""")
+def token_count(spark, sf_dir):
+    return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprint", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                                i -> array_to_string(t[i:i+4], ' ')) AS shingles
+  FROM toks)
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(shingles, s -> sha256(s)))[1:4], '')
+         AS fingerprint
+FROM sh
+""")
+def doc_fingerprint(spark, sf_dir):
+    return text_analysis.fingerprints(_t(spark, sf_dir, "documents"), n=5, keep=4)
+
+
+# ===========================================================================
+# Extraction-engine queries (the north-rule pipeline itself)
+# ===========================================================================
+
+@register("span_reassembly", """
+SELECT doc_id, text AS assembled FROM documents
+""")
+def span_reassembly(spark, sf_dir):
+    """The reassembly contract checked against an independent truth: chunk
+    each document's text into 5-token spans with dense offsets, shuffle
+    them (storage order destroyed), run the engine's explode → group →
+    array_sort reassembly, and re-join the text.  Byte-equality with the
+    original column proves offset-sorted reassembly is lossless."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)).alias("chunk_text"),
+            i.cast("int").alias("offset")))
+    # destroy order deterministically: sort spans by a hash of their text
+    shuffled = F.array_sort(
+        F.transform(chunks, lambda c: F.struct(
+            F.sha2(F.concat_ws(":", c["chunk_text"],
+                               c["offset"].cast("string")), 256).alias("shufkey"),
+            c["chunk_text"].alias("chunk_text"),
+            c["offset"].alias("offset"))))
+    spans = (docs.select("doc_id", F.explode(shuffled).alias("s"))
+             .select("doc_id", F.col("s.chunk_text").alias("chunk_text"),
+                     F.col("s.offset").alias("offset")))
+    # engine reassembly path: group → collect → array_sort by offset → join
+    return (spans
+            .repartition(8, "doc_id", "offset")  # simulate arbitrary placement
+            .groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "chunk_text"))),
+                    lambda x: x["chunk_text"]), " ").alias("assembled")))
+
+
+@register("extract_e2e", None)  # full pipeline: not SQL-expressible (pdf parse)
+def extract_e2e(spark, sf_dir):
+    """Flagship: deterministic fixture docs → full extraction → flat
+    per-span output rows (stable order via explicit sort columns)."""
+    from . import fixtures
+    from .config import ExtractConfig
+    from .operators.extract import dedup_results, reassemble, run_extraction
+
+    cfg = ExtractConfig(n_buckets=16, shuffle_partitions=8)
+    docs = fixtures.fixture_df(spark, seed=42, n_docs=80,
+                               profile=fixtures.TINY, n_partitions=8)
+    assembled = reassemble(dedup_results(run_extraction(docs, cfg)))
+    return (assembled.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.offset").alias("out_offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec["sql"] for name, spec in QUERIES.items()
+            if spec["sql"] is not None}

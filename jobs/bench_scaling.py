@@ -1,0 +1,143 @@
+"""Two-parallelism scaling benchmark → BENCH/BASELINE.md.
+
+Sandbox stand-in for the north rule's two-cluster-size requirement
+(N vs 4N executors): runs the *identical* extraction job via
+``spark-submit --py-files`` at ``local[8]`` and ``local[32]`` on the same
+materialized fixture input and reports docs/sec at both plus
+efficiency = (throughput_4N / throughput_N) / 4 (target ≥ 0.8).
+
+Usage: python jobs/bench_scaling.py [--docs 3000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_zip() -> str:
+    import zipfile
+    dist = REPO / "dist"
+    dist.mkdir(exist_ok=True)
+    zpath = dist / "databricks_pdf_ocr_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = REPO / "databricks_pdf_ocr_spark"
+        for p in pkg.rglob("*.py"):
+            z.write(p, p.relative_to(REPO))
+    return str(zpath)
+
+
+def materialize_input(n_docs: int, seed: int = 42) -> str:
+    path = f"/tmp/spark_graft_scale_input_{seed}_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from databricks_pdf_ocr_spark import fixtures
+        from databricks_pdf_ocr_spark.session import get_spark
+        spark = get_spark(master="local[16]", app_name="gen-input",
+                          shuffle_partitions=16)
+        fixtures.fixture_df(spark, seed, n_docs, fixtures.BENCH,
+                            n_partitions=max(16, n_docs // 250)) \
+            .write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
+    tables = f"/tmp/spark_graft_scale_tables_{tag}_{cores}"
+    subprocess.run(["rm", "-rf", tables], check=True)
+    t0 = time.time()
+    proc = subprocess.run(
+        ["spark-submit", "--master", f"local[{cores}]",
+         "--driver-memory", "24g",
+         "--py-files", zpath,
+         str(REPO / "jobs" / "extract.py"),
+         "--input", input_path, "--tables", tables,
+         "--n-buckets", "64", "--partitions", str(cores),
+         "--mode", "reprocess_all", "--skip-assemble"],
+        capture_output=True, text=True, timeout=3600)
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"run at local[{cores}] failed")
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    stats["cores"] = cores
+    stats["wall_sec"] = round(wall, 2)
+    return stats
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=3000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--tag", default="r")
+    args = ap.parse_args()
+
+    zpath = build_zip()
+    input_path = materialize_input(args.docs)
+
+    lo = run_at(args.n, input_path, zpath, args.tag)
+    hi = run_at(args.xn, input_path, zpath, args.tag)
+
+    # throughput from the job's own elapsed time (includes scan + extract +
+    # write; excludes JVM startup via elapsed_sec measured inside the job)
+    thr_lo = args.docs / lo["elapsed_sec"]
+    thr_hi = args.docs / hi["elapsed_sec"]
+    factor = args.xn / args.n
+    eff = (thr_hi / thr_lo) / factor
+
+    report = {
+        "docs": args.docs,
+        "n_cores": args.n, "xn_cores": args.xn,
+        "docs_per_sec_n": round(thr_lo, 2),
+        "docs_per_sec_xn": round(thr_hi, 2),
+        "elapsed_n_sec": lo["elapsed_sec"], "elapsed_xn_sec": hi["elapsed_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    md = REPO / "BENCH" / "BASELINE.md"
+    md.parent.mkdir(exist_ok=True)
+    md.write_text(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+North-rule protocol (BASELINE.md): identical extraction job, identical
+deterministic fixture input ({args.docs} docs, seed 42, BENCH profile —
+interleaved text/html/pdf/image spans incl. heavy skewed docs), run via
+`spark-submit --py-files dist/databricks_pdf_ocr_spark.zip jobs/extract.py`
+at two parallelism levels as the sandbox stand-in for N vs 4N executors.
+
+| cores | wall (job-internal) | docs/sec |
+| ---: | ---: | ---: |
+| local[{args.n}] (N) | {lo['elapsed_sec']} s | {report['docs_per_sec_n']} |
+| local[{args.xn}] (4N) | {hi['elapsed_sec']} s | {report['docs_per_sec_xn']} |
+
+**Scaling efficiency = (thr_4N / thr_N) / {factor:.0f} =
+{report['scaling_efficiency']}** (target ≥ 0.8 → {"PASS" if report['pass'] else "FAIL"}).
+
+Conf: shuffle.partitions = cores; AQE on; Arrow maxRecordsPerBatch=256;
+salted span-level repartition keeps task durations uniform (heavy multi-
+hundred-span docs are spread across all partitions, so the 4N run is not
+straggler-bound).
+
+Raw: `{json.dumps(report)}`
+
+Reference comparison (BASELINE.md): the reference processes ~0.7–1.1
+docs/min sequentially (1 model call/page, driver loop); this engine's
+hermetic executor-side extraction reaches the docs/sec above on one
+machine and scales with cores.
+""")
+    print(f"wrote {md}", file=sys.stderr)
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
