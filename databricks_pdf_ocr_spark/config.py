@@ -43,6 +43,13 @@ class ExtractConfig:
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 256
     ocr_model: str = "ocr-fallback-deterministic-v1"
+    #: repartition spans on (doc_id, offset) before extraction.  OFF by
+    #: default: shuffling raw payload bytes is the wrong plan at 100 TB —
+    #: extraction is a narrow map over the scan, and the only shuffle
+    #: should be the (far smaller) extracted-text reassembly.  Turn ON
+    #: when input files are skewed (single docs comparable to a whole
+    #: split, e.g. multi-thousand-page PDFs packed into few files).
+    salt_spans: bool = False
 
     def to_json(self) -> str:
         d = asdict(self)
@@ -53,4 +60,5 @@ class ExtractConfig:
 #: Small-payload config used by unit tests — a 64 KiB size guard lets
 #: fixtures exercise the oversize-failure path cheaply.
 TEST_CONFIG = ExtractConfig(max_payload_bytes=64 * 1024, max_pages_per_doc=16,
-                            n_buckets=8, shuffle_partitions=8)
+                            n_buckets=8, shuffle_partitions=8,
+                            salt_spans=True)  # tests exercise the salted path

@@ -45,6 +45,10 @@ class FixtureProfile:
     error_every: int = 25          # every k-th doc gets one error span (0=off)
     two_column_prob: float = 0.25
     image_page_prob: float = 0.2
+    # cumulative span-kind thresholds (text | html | pdf | image)
+    w_text: float = 0.70
+    w_html: float = 0.80
+    w_pdf: float = 0.90
 
 
 SMOKE = FixtureProfile()
@@ -54,6 +58,13 @@ TINY = FixtureProfile(spans_min=2, spans_max=5, heavy_every=10,
 #: bench profile: no error docs (uniform work), moderate heavies
 BENCH = FixtureProfile(error_every=0, heavy_every=100,
                        heavy_spans_min=100, heavy_spans_max=250)
+#: scaling-bench profile: compute-heavy docs (pdf parse dominates) so the
+#: two-parallelism run measures kernel throughput, not job overhead
+BENCH_HEAVY = FixtureProfile(
+    spans_min=8, spans_max=24, error_every=0,
+    heavy_every=40, heavy_spans_min=120, heavy_spans_max=300,
+    pdf_pages_max=6,
+    w_text=0.35, w_html=0.50, w_pdf=0.85)
 
 
 def doc_id_for(seed: int, idx: int) -> str:
@@ -128,11 +139,11 @@ def gen_doc(seed: int, idx: int, profile: FixtureProfile = SMOKE
     spans: list[tuple[str, str | None, str | None, int]] = []
     for off in range(n):
         r = rng.random()
-        if r < 0.70:
+        if r < profile.w_text:
             spans.append(("text", _paragraph(rng), None, off))
-        elif r < 0.80:
+        elif r < profile.w_html:
             spans.append(("html", _html_payload(rng), None, off))
-        elif r < 0.90:
+        elif r < profile.w_pdf:
             spans.append(("pdf", _pdf_payload(rng, profile), None, off))
         else:
             spans.append(("image", None, f"mediaref://{did}/{off}", off))

@@ -60,7 +60,8 @@ def extract_span(
             if text is None:
                 return "failed", "pdf span with null payload", 0, 0, []
             try:
-                raw = base64.b64decode(text, validate=True)
+                # tolerate MIME-chunked b64 (Spark's base64() inserts \r\n)
+                raw = base64.b64decode(re.sub(r"\s+", "", text), validate=True)
             except (binascii.Error, ValueError):
                 return "failed", "invalid base64 pdf payload", 0, 0, []
             # size guard — reference: config.py:88-95 @ processors/ocr.py:93-98

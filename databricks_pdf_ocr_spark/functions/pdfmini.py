@@ -249,6 +249,48 @@ class _Lexer:
 # Document parser: xref walk → objects → page tree → content streams
 # ===========================================================================
 
+# -- standard security handler (RC4) ---------------------------------------
+# PDF 32000-1 §7.6.3: empty-user-password decryption for R2/R3 documents
+# (the reference's own fixtures/sample.pdf is R2/V1 40-bit RC4).
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _file_key(enc: dict, id0: bytes) -> bytes:
+    import hashlib
+    r = enc.get("R")
+    if enc.get("Filter") != "Standard" or r not in (2, 3) or enc.get("V") not in (1, 2):
+        raise PdfError(f"unsupported encryption {enc.get('Filter')}/V{enc.get('V')}")
+    o = enc["O"]
+    p = int(enc["P"]) & 0xFFFFFFFF
+    n = 5 if r == 2 else max(5, int(enc.get("Length", 40)) // 8)
+    h = hashlib.md5(_PAD + o + p.to_bytes(4, "little") + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
 class PdfDocument:
     def __init__(self, data: bytes):
         if not data.startswith(b"%PDF-"):
@@ -257,7 +299,19 @@ class PdfDocument:
         self._cache: dict[tuple[int, int], object] = {}
         self.xref: dict[int, int] = {}
         self.trailer: dict = {}
+        self._enc_key: bytes | None = None
         self._load_xref()
+        if "Encrypt" in self.trailer:
+            enc = self.resolve(self.trailer["Encrypt"])
+            ids = self.trailer.get("ID") or [b""]
+            self._enc_key = _file_key(enc, ids[0])
+
+    def _object_key(self, num: int, gen: int) -> bytes:
+        import hashlib
+        assert self._enc_key is not None
+        h = hashlib.md5(self._enc_key + num.to_bytes(3, "little")
+                        + gen.to_bytes(2, "little")).digest()
+        return h[: min(len(self._enc_key) + 5, 16)]
 
     # -- xref --------------------------------------------------------------
 
@@ -344,6 +398,8 @@ class PdfDocument:
             if not isinstance(length, int):
                 raise PdfError("stream /Length missing")
             raw = self.data[p:p + length]
+            if self._enc_key is not None:
+                raw = _rc4(self._object_key(num, gen), raw)
             obj = _Stream(obj, raw)
         self._cache[key] = obj
         return obj

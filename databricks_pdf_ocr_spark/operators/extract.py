@@ -140,8 +140,10 @@ def _make_extract_batch(cfg: ExtractConfig):
 
 
 def extract_spans(spans_df: DataFrame, cfg: ExtractConfig,
-                  salt: bool = True) -> DataFrame:
+                  salt: bool | None = None) -> DataFrame:
     """Run the extraction kernel over span rows → flat results rows."""
+    if salt is None:
+        salt = cfg.salt_spans
     if salt:
         # hash-repartition on (doc_id, offset): spans of one heavy doc are
         # spread across all partitions → uniform task durations (the 4N-core
@@ -171,6 +173,14 @@ def reassemble(results: DataFrame) -> DataFrame:
     nondeterministic, so sort happens *inside* the array (``array_sort`` on
     structs compares fields lexicographically — (offset, sub_idx) lead), then
     a ``transform`` renumbers densely.  All JVM-side; no Python touches data.
+
+    Rerun idempotency folds in for free: duplicate result rows from a
+    crash-between-write-and-mark are byte-identical (deterministic
+    result ids), so ``array_distinct`` after the sort removes them inside
+    the same aggregate — no extra shuffle, unlike a result_id
+    ``dropDuplicates`` upstream (which would shuffle+sort every payload a
+    second time; measured as the dominant non-extraction cost in
+    ``.explain``).
     """
     sortable = F.struct(
         F.col("offset"), F.col("sub_idx"),
@@ -179,7 +189,8 @@ def reassemble(results: DataFrame) -> DataFrame:
     assembled = (
         results.filter(F.col("status") == "success")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(sortable)).alias("sorted_spans"))
+        .agg(F.array_distinct(F.array_sort(F.collect_list(sortable)))
+             .alias("sorted_spans"))
         .select(
             "doc_id",
             F.transform(
@@ -197,6 +208,6 @@ def reassemble(results: DataFrame) -> DataFrame:
 
 
 def run_extraction(documents: DataFrame, cfg: ExtractConfig,
-                   salt: bool = True) -> DataFrame:
+                   salt: bool | None = None) -> DataFrame:
     """documents → flat results (no IO; callers persist + reassemble)."""
     return extract_spans(explode_spans(documents), cfg, salt=salt)

@@ -77,27 +77,27 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     )
 
 
+def plane_vector(p: int, dim: int, seed: int = 1) -> list[float]:
+    """Deterministic ±1 hyperplane components: sign from a sha256 bit of
+    (seed, p, i).  Pure driver-side model — no stored state, same plane
+    set on every engine/run."""
+    import hashlib
+    return [1.0 if int(hashlib.sha256(f"{seed}:{p}:{i}".encode())
+                       .hexdigest()[:4], 16) % 2 == 0 else -1.0
+            for i in range(dim)]
+
+
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16,
                          seed: int = 1) -> Column:
     """Random-hyperplane LSH signature (int bitmask).
 
-    Plane p's components are ±1 derived from sha2 bits of (seed, p, i) —
-    deterministic, identical across engines/runs, no stored model.  Bit p
-    of the signature = sign(v · plane_p) ≥ 0.
+    Planes are precomputed driver-side and inlined as literal arrays, so
+    per-row work is ``n_planes`` codegen'd dot products — not per-row
+    hashing.  Bit p of the signature = sign(v · plane_p) ≥ 0.
     """
-    def plane_components(p: int):
-        # single-arg lambda factory (two-parameter lambdas get the index)
-        prefix = f"{seed}:{p}:"
-        return lambda i: F.when(
-            F.conv(F.substring(F.sha2(F.concat(F.lit(prefix),
-                                               i.cast("string")), 256),
-                               1, 4), 16, 10).cast("long") % 2 == 0,
-            F.lit(1.0)).otherwise(F.lit(-1.0))
-
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        comp = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                           plane_components(p))
+        comp = F.array(*[F.lit(c) for c in plane_vector(p, dim, seed)])
         dot = F.aggregate(F.zip_with(vec_col, comp, lambda x, c: x * c),
                           F.lit(0.0).cast("double"), lambda acc, v: acc + v)
         sig = sig + F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))

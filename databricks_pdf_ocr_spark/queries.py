@@ -608,7 +608,7 @@ def extract_e2e(spark, sf_dir):
     cfg = ExtractConfig(n_buckets=16, shuffle_partitions=8)
     docs = fixtures.fixture_df(spark, seed=42, n_docs=80,
                                profile=fixtures.TINY, n_partitions=8)
-    assembled = reassemble(dedup_results(run_extraction(docs, cfg)))
+    assembled = reassemble(run_extraction(docs, cfg))
     return (assembled.select("doc_id", F.explode("spans").alias("s"))
             .select("doc_id",
                     F.col("s.offset").alias("out_offset"),

@@ -25,6 +25,7 @@ def get_spark(
     app_name: str = "databricks_pdf_ocr_spark",
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 256,
+    driver_memory: str | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cores = os.cpu_count() or 4
@@ -32,6 +33,10 @@ def get_spark(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", cores))
     b = (
         SparkSession.builder.appName(app_name)
+        # local mode: the driver heap is the only executor memory knob;
+        # only honored if set before the JVM starts (first session wins)
+        .config("spark.driver.memory",
+                driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

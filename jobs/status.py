@@ -1,0 +1,40 @@
+"""Status CLI: run history + table summary (reference: ``show_status``,
+``main.py:175-199`` / ``StateManager.get_run_history``,
+``managers/state.py:106-132``)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from databricks_pdf_ocr_spark.config import ExtractConfig
+from databricks_pdf_ocr_spark.plans.checkpoint import CheckpointManager
+from databricks_pdf_ocr_spark.session import get_spark
+from databricks_pdf_ocr_spark.sources.tables import make_table_io
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tables", required=True)
+    ap.add_argument("--limit", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="status")
+    io = make_table_io(spark, args.tables)
+    cp = CheckpointManager(io, ExtractConfig())
+
+    out = {"runs": [r.asDict() for r in cp.run_history(args.limit).collect()]}
+    for t in ("extraction_results", "extracted_documents"):
+        df = io.read(t)
+        out[t] = {"rows": df.count()} if df is not None else None
+    print(json.dumps(out, default=str, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

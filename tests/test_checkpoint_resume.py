@@ -62,7 +62,7 @@ def test_kill_and_resume_equals_single_run(env):
     assert cp.filter_pending(df, FP).count() == 0
 
     # final output == golden (crash did not lose or duplicate anything)
-    assembled = reassemble(dedup_results(io.read("extraction_results")))
+    assembled = reassemble(io.read("extraction_results"))
     got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
                          for s in r["spans"]]
            for r in assembled.collect()}
@@ -86,7 +86,7 @@ def test_double_process_one_bucket_is_idempotent(env):
 
     all_results = io.read("extraction_results")
     assert all_results.count() > dedup_results(all_results).count()
-    assembled = reassemble(dedup_results(all_results))
+    assembled = reassemble(all_results)
     got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
                          for s in r["spans"]]
            for r in assembled.collect()}

@@ -40,7 +40,7 @@ def _spark_assembled_to_dict(assembled_df):
 def test_span_sequence_equality(spark, input_rows, golden):
     df = spark.createDataFrame(input_rows, schema=DOCUMENTS_SCHEMA)
     results = run_extraction(df, TEST_CONFIG)
-    assembled = reassemble(dedup_results(results))
+    assembled = reassemble(results)
     got = _spark_assembled_to_dict(assembled)
 
     gold_nonempty = {k: v for k, v in golden.items() if v}
@@ -82,7 +82,7 @@ def test_rerun_idempotency_via_dedup(spark, input_rows, golden):
     r1 = run_extraction(df, TEST_CONFIG)
     r2 = run_extraction(df.limit(N_DOCS // 2), TEST_CONFIG)
     doubled = r1.unionByName(r2)
-    assembled = reassemble(dedup_results(doubled))
+    assembled = reassemble(doubled)
     got = _spark_assembled_to_dict(assembled)
     gold_nonempty = {k: v for k, v in golden.items() if v}
     assert got == gold_nonempty

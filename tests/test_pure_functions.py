@@ -52,17 +52,19 @@ def test_pdf_malformed_raises():
 
 
 def test_pdf_reference_fixture_parses():
-    """The reference repo's real 4-page sample.pdf — our tokenizer should
-    at least walk its xref/page tree (PDF 1.3, linearized, uncompressed)."""
+    """The reference repo's real 4-page sample.pdf (PDF 1.3, linearized,
+    RC4-encrypted R2/V1, Flate content streams): full xref walk + standard-
+    security decryption + content tokenization + reading order."""
     try:
         data = open("/root/reference/fixtures/sample.pdf", "rb").read()
     except OSError:
         pytest.skip("reference fixture unavailable")
-    try:
-        pages = pdfmini.parse_pdf(data)
-    except pdfmini.PdfError as e:
-        pytest.skip(f"reference fixture outside supported subset: {e}")
+    pages = pdfmini.parse_pdf(data)
     assert len(pages) == 4
+    assert all(p.runs for p in pages)
+    page1 = segment.reading_order_text(pages[0].runs)
+    assert "PDF" in page1 and "Sample" in page1
+    assert "Page 1 of 4" in page1
 
 
 # ---------------------------------------------------------------- segment
