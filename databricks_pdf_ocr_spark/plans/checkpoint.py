@@ -96,7 +96,11 @@ class CheckpointManager:
             .groupBy("bucket")
             .agg(
                 F.countDistinct("doc_id").alias("docs_done"),
-                F.countDistinct(F.concat_ws(":", "doc_id", "offset")).alias("spans_in"),
+                # every input span emits exactly ONE sub_idx==0 row (success
+                # fan-out starts at 0; failed/empty emit a single 0 row), so
+                # this counts input spans without a second count-distinct
+                # Expand pass
+                F.sum((F.col("sub_idx") == 0).cast("long")).alias("spans_in"),
                 F.sum("pages_parsed").cast("long").alias("pages_parsed"),
                 F.sum(F.col("ocr_fallback").cast("long")).alias("ocr_fallbacks"),
                 F.sum((F.col("status") == "success").cast("long")).alias("span_count"),

@@ -125,6 +125,7 @@ def main(argv=None) -> int:
 
     # WRITE results ...
     t_select = time.time()
+    had_results = io.exists(RESULTS_TABLE)
     io.append(results, RESULTS_TABLE)
     t_extract = time.time()
     # ... THEN MARK lineage (re-scan of just-written columnar data is cheap
@@ -133,11 +134,14 @@ def main(argv=None) -> int:
     # column-prune BEFORE the dedup: metrics never touch the payload text,
     # so the dropDuplicates shuffle moves ~40 bytes/row instead of the docs
     this_run = (io.read(RESULTS_TABLE)
-                .select("result_id", "doc_id", "offset", "status",
+                .select("result_id", "doc_id", "offset", "sub_idx", "status",
                         "pages_parsed", "ocr_fallback", "bucket")
                 .join(F.broadcast(pend_buckets), "bucket", "left_semi"))
+    if had_results:
+        # only a pre-existing table can contain replayed duplicates
+        this_run = dedup_results(this_run)
     elapsed_ms = int((time.time() - t0) * 1000)
-    cp.mark_from_results(dedup_results(this_run), run_id, fingerprint, elapsed_ms)
+    cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms)
     t_mark = time.time()
     print(json.dumps({"phase_select_sec": round(t_select - t0, 2),
                       "phase_extract_write_sec": round(t_extract - t_select, 2),
