@@ -1,0 +1,169 @@
+"""Multimodal column operators: opaque binary media + typed metadata.
+
+Task-brief component: at 100 TB, images/audio/video ride through the
+pipeline as opaque ``binary`` columns (or ``media_ref`` pointers) with
+typed metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages.
+
+This container has no imaging/audio libraries, so the codec boundary is
+explicitly stubbed (``_decode_image_real`` raises ``NotImplementedError``)
+and a clearly-marked deterministic fake — keyed on the payload bytes, so
+tests and goldens are stable — stands in.  Everything Spark-side is real
+and tested: schemas, Arrow batch shapes, partition behavior, metadata
+structs.
+
+Reference analogue: the image path in ``clients/claude.py:22-49``
+(PIL resize → base64 → request payload) — here generalized into reusable
+column operators instead of an inline API-call helper.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: media metadata emitted by decode_media (one row per input row)
+MEDIA_META_DDL = (
+    "media_id string, kind string, byte_size long, format string, "
+    "width int, height int, duration_ms long, decode_ok boolean, "
+    "error_message string"
+)
+
+#: per-frame rows emitted by frame_sample (video fan-out)
+FRAME_DDL = (
+    "media_id string, frame_idx int, ts_ms long, frame_sha string"
+)
+
+EMBED_DIM = 16
+
+
+def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
+    """The real codec slot (PIL/libvips/ffmpeg).  Not available in this
+    environment — deliberately loud so nobody mistakes the fake for it."""
+    raise NotImplementedError(
+        "imaging libraries are not installed in this container; "
+        "the deterministic fake decoder is the hermetic test path")
+
+
+def _decode_fake(payload: bytes) -> tuple[str, int, int, int]:
+    """Deterministic pseudo-decode: (format, width, height, duration_ms)
+    derived purely from the payload hash — stable across runs/engines."""
+    h = hashlib.sha256(payload).digest()
+    fmt = ("png", "jpeg", "webp", "mp4", "wav")[h[0] % 5]
+    width = 64 + struct.unpack(">H", h[1:3])[0] % 4032
+    height = 64 + struct.unpack(">H", h[3:5])[0] % 3024
+    duration = (struct.unpack(">I", h[5:9])[0] % 600_000
+                if fmt in ("mp4", "wav") else 0)
+    return fmt, width, height, duration
+
+
+def decode_media(df: DataFrame, content_col: str = "content",
+                 kind_col: str | None = None) -> DataFrame:
+    """binary column → typed metadata rows (one per input row).
+
+    Plan shape: narrow ``mapInPandas`` over the scan — no shuffle; media
+    bytes never leave their input partition.  Decode errors become
+    ``decode_ok=false`` rows (the pipeline-continues error contract).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "byte_size", "format",
+                                   "width", "height", "duration_ms",
+                                   "decode_ok", "error_message")}
+            for _, row in pdf.iterrows():
+                payload = row[content_col]
+                payload = bytes(payload) if payload is not None else b""
+                mid = hashlib.sha256(payload).hexdigest()
+                out["media_id"].append(mid)
+                out["kind"].append(row[kind_col] if kind_col else "image")
+                out["byte_size"].append(len(payload))
+                if not payload:
+                    out["format"].append(None)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["duration_ms"].append(0)
+                    out["decode_ok"].append(False)
+                    out["error_message"].append("empty payload")
+                    continue
+                fmt, w, h, dur = _decode_fake(payload)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["decode_ok"].append(True)
+                out["error_message"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=MEDIA_META_DDL)
+
+
+def resize_plan(meta: DataFrame, max_edge: int = 1568) -> DataFrame:
+    """Resize planning (reference: LANCZOS downscale to max edge 1568,
+    ``clients/claude.py:27-38``).  The geometry math is exact and
+    JVM-side; only the pixel resample itself sits behind the codec stub.
+    """
+    from pyspark.sql import functions as F
+    scale = F.when(
+        F.greatest("width", "height") > max_edge,
+        max_edge / F.greatest("width", "height")).otherwise(F.lit(1.0))
+    return meta.select(
+        "media_id", "width", "height",
+        F.round(scale, 6).alias("scale"),
+        F.ceil(F.col("width") * scale).cast("int").alias("target_width"),
+        F.ceil(F.col("height") * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
+def frame_sample(df: DataFrame, content_col: str = "content",
+                 every_ms: int = 1000, max_frames: int = 16) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    Fan-out happens *inside* the Arrow batch (like the PDF page fan-out),
+    so a long video never becomes a driver loop; frame payload hashes are
+    derived deterministically from (payload, frame_idx) via the fake
+    decoder.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "frame_sha")}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                if not payload:
+                    continue
+                mid = hashlib.sha256(payload).hexdigest()
+                _fmt, _w, _h, dur = _decode_fake(payload)
+                n = min(max_frames, max(1, dur // every_ms))
+                for i in range(int(n)):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_sha"].append(hashlib.sha256(
+                        payload + i.to_bytes(4, "big")).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_DDL)
+
+
+def embed_media(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """binary → array<float> pseudo-embedding (deterministic from bytes).
+
+    Stands in for a real vision encoder; feeds the similarity-search
+    operators (``operators/similarity.py``) so the media-dedup path
+    (decode → embed → cosine near-dup) is exercised end-to-end.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                h = hashlib.sha256(payload).digest()
+                ids.append(hashlib.sha256(payload).hexdigest())
+                vecs.append([((h[i] / 255.0) * 2 - 1) for i in range(EMBED_DIM)])
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return df.mapInPandas(run, schema="media_id string, embedding array<float>")

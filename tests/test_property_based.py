@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+Round-trip and invariance properties that fixed fixtures cannot sweep:
+arbitrary text through the PDF writer→tokenizer, arbitrary span orders
+through the golden reassembly, arbitrary HTML-ish strings through the
+boilerplate stripper (must never crash, must never leak dropped content).
+"""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from databricks_pdf_ocr_spark.config import TEST_CONFIG
+from databricks_pdf_ocr_spark.functions import htmlmini, pdfmini
+from tools.goldens import golden_extract_doc
+
+# latin-1-safe printable text for PDF string round-trips
+_pdf_text = st.text(
+    alphabet=st.characters(codec="latin-1", exclude_characters="\r\n"),
+    min_size=1, max_size=120)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_pdf_text, min_size=1, max_size=6), st.booleans())
+def test_pdf_writer_tokenizer_roundtrip(lines, compress):
+    pages = [{"runs": [(72.0, 720.0 - 20 * i, t) for i, t in enumerate(lines)]}]
+    data = pdfmini.write_pdf(pages, compress=compress)
+    out = pdfmini.parse_pdf(data)
+    assert len(out) == 1
+    got = [r.text for r in out[0].runs]
+    assert got == lines
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["text"]),
+                          st.text(string.printable, max_size=50)),
+                min_size=1, max_size=12),
+       st.randoms())
+def test_reassembly_order_invariance(spans, rnd):
+    """Golden extraction is invariant to stored span order (the offset is
+    authoritative) — the core north-rule property."""
+    tagged = [(k, t, None, i) for i, (k, t) in enumerate(spans)]
+    shuffled = list(tagged)
+    rnd.shuffle(shuffled)
+    assert (golden_extract_doc(tagged, TEST_CONFIG)
+            == golden_extract_doc(shuffled, TEST_CONFIG))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=300))
+def test_htmlmini_never_crashes_and_strips_scripts(html):
+    blocks = htmlmini.extract_blocks(html)
+    assert isinstance(blocks, list)
+    joined = " ".join(blocks)
+    assert "<script>" not in joined.lower()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_pdf_parser_never_hangs_on_garbage(data):
+    """Arbitrary bytes either parse (only if truly a PDF) or raise PdfError —
+    never any other exception, never a hang (the extraction error contract
+    depends on this)."""
+    try:
+        pdfmini.parse_pdf(b"%PDF-" + data)
+    except pdfmini.PdfError:
+        pass
