@@ -89,19 +89,28 @@ def plane_vector(p: int, dim: int, seed: int = 1) -> list[float]:
 
 def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16,
                          seed: int = 1) -> Column:
-    """Random-hyperplane LSH signature (int bitmask).
-
-    Planes are precomputed driver-side and inlined as literal arrays, so
-    per-row work is ``n_planes`` codegen'd dot products — not per-row
-    hashing.  Bit p of the signature = sign(v · plane_p) ≥ 0.
+    """Random-hyperplane LSH signature (int bitmask) as a vectorized
+    pandas UDF: one BLAS matmul per Arrow batch (V @ P.T), sign bits packed
+    into a long.  A pure column-expression variant (n_planes nested
+    ``aggregate``/``zip_with`` lambdas) measured ~10x slower — deep
+    higher-order-function trees fall out of codegen; embedding math
+    belongs in numpy.
     """
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        comp = F.array(*[F.lit(c) for c in plane_vector(p, dim, seed)])
-        dot = F.aggregate(F.zip_with(vec_col, comp, lambda x, c: x * c),
-                          F.lit(0.0).cast("double"), lambda acc, v: acc + v)
-        sig = sig + F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return sig
+    import numpy as np
+
+    planes = np.array([plane_vector(p, dim, seed) for p in range(n_planes)])
+    weights = np.power(2.0, np.arange(n_planes))
+
+    @F.pandas_udf("long")
+    def sig(v):  # pd.Series of list[float] -> pd.Series of long
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        if len(mat) == 0:
+            return v.iloc[0:0].astype("int64")
+        bits = (mat @ planes.T) >= 0
+        import pandas as pd
+        return pd.Series((bits @ weights).astype("int64"))
+
+    return sig(vec_col)
 
 
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
