@@ -68,6 +68,13 @@ class Page:
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+# compiled-regex fast paths: the tokenizer is the extraction hot loop
+# (hundreds of thousands of calls per batch) — regex .match jumps replace
+# per-character Python loops with identical semantics
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_TOKEN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+_NAME_RE = _TOKEN_RE
+_STR_SIMPLE = re.compile(rb"\(([^\\()]*)\)")
 
 
 class _Lexer:
@@ -76,16 +83,9 @@ class _Lexer:
         self.pos = pos
 
     def _skip_ws(self) -> None:
-        d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = d[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment
-                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
-                    self.pos += 1
-            else:
-                return
+        m = _WS_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def peek(self, k: int = 1) -> bytes:
         self._skip_ws()
@@ -94,13 +94,11 @@ class _Lexer:
     def _read_token(self) -> bytes:
         """Read a bare token (number / keyword)."""
         self._skip_ws()
-        start = self.pos
-        d, n = self.data, len(self.data)
-        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
-            self.pos += 1
-        if self.pos == start:
-            raise PdfError(f"unexpected delimiter at byte {start}")
-        return d[start:self.pos]
+        m = _TOKEN_RE.match(self.data, self.pos)
+        if m is None or m.start() != self.pos:
+            raise PdfError(f"unexpected delimiter at byte {self.pos}")
+        self.pos = m.end()
+        return m.group(0)
 
     # -- object grammar ----------------------------------------------------
 
@@ -150,11 +148,10 @@ class _Lexer:
     def _parse_name(self) -> str:
         assert self.data[self.pos:self.pos + 1] == b"/"
         self.pos += 1
-        start = self.pos
-        d, n = self.data, len(self.data)
-        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
-            self.pos += 1
-        raw = d[start:self.pos]
+        m = _NAME_RE.match(self.data, self.pos)
+        raw = m.group(0) if m else b""
+        if m:
+            self.pos = m.end()
         # #xx hex escapes in names
         if b"#" in raw:
             raw = re.sub(rb"#([0-9A-Fa-f]{2})",
@@ -163,6 +160,11 @@ class _Lexer:
 
     def _parse_literal_string(self) -> bytes:
         assert self.data[self.pos:self.pos + 1] == b"("
+        # fast path: no escapes, no nested parens (the overwhelming case)
+        m = _STR_SIMPLE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
+            return m.group(1)
         self.pos += 1
         out = bytearray()
         depth = 1

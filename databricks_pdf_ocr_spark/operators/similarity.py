@@ -113,6 +113,96 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16,
     return sig(vec_col)
 
 
+def ivf_assign(embeddings: DataFrame, n_clusters: int = 16,
+               iterations: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, list]:
+    """IVF coarse quantizer: deterministic k-means over DataFrame ops.
+
+    Centroid init: the ``n_clusters`` vectors with the smallest
+    ``xxhash64(id)`` (a deterministic pseudo-random sample, no RNG state);
+    then ``iterations`` Lloyd rounds — assign via broadcast
+    nearest-centroid, update via per-cluster mean (one hash-agg shuffle
+    per round).  Returns (assignments df [id, vec, cluster], centroids).
+
+    Scale: centroids are tiny and broadcast; the corpus is scanned once
+    per round; the final assignment is the IVF index one would persist
+    as a table partitioned by cluster.
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_rows = (e.withColumn("h", F.xxhash64("id"))
+                 .orderBy("h").limit(n_clusters).select("v").collect())
+    centroids = [list(r["v"]) for r in seed_rows]
+
+    def assign(df: DataFrame, cents: list) -> DataFrame:
+        # broadcast the centroid table and take the argmin with min_by —
+        # one hash aggregate.  (A chained-when argmin over k aliased
+        # distance expressions gets inline-substituted by Catalyst into an
+        # exponentially large Project — OOMs the driver at k=16, dim=64.)
+        cdf = spark.createDataFrame(
+            [(ci, [float(x) for x in c]) for ci, c in enumerate(cents)],
+            "cluster int, cvec array<double>")
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cvec"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"), lambda a, x: a + x)
+        pairs = df.crossJoin(F.broadcast(cdf)).withColumn("dist", dist)
+        return (pairs.groupBy("id")
+                .agg(F.min_by("cluster", F.struct("dist", "cluster"))
+                     .alias("cluster"),
+                     F.first("v").alias("v"))
+                .select("id", "v", "cluster"))
+
+    for _ in range(iterations):
+        assigned = assign(e, centroids)
+        means = (assigned.groupBy("cluster")
+                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                        for i in range(len(centroids[0]))])
+                 .collect())
+        new = {r["cluster"]: [r[f"m{i}"] for i in range(len(centroids[0]))]
+               for r in means}
+        centroids = [new.get(ci, centroids[ci]) for ci in range(len(centroids))]
+
+    return assign(e, centroids), centroids
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_clusters: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest clusters per
+    query, exact cosine within candidates.
+
+    The assignment side is the persisted index at scale (partition/bucket
+    by cluster → query touches nprobe/n_clusters of the corpus).
+    """
+    assigned, centroids = ivf_assign(embeddings, n_clusters,
+                                     id_col=id_col, vec_col=vec_col)
+    # nearest clusters per query (driver-side math over tiny centroid list)
+    qrows = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = list(r["qv"])
+        d = sorted(range(len(centroids)), key=lambda ci: sum(
+            (qv[i] - centroids[ci][i]) ** 2 for i in range(len(qv))))
+        for ci in d[:nprobe]:
+            probe_rows.append((r["query_id"], ci, qv))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, cluster int, qv array<double>")
+    cands = assigned.join(F.broadcast(probes), "cluster") \
+        .filter(F.col("id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id", dim: int = 16,

@@ -478,6 +478,14 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, q, k=5, dim=dim)
 
 
+@register("ann_ivf_topk", None)  # IVF probe: rows-only check
+def ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(emb, q, k=5, n_clusters=16, nprobe=4)
+
+
 def _lang_sql() -> str:
     langs = sorted(text_analysis.LANG_MARKERS)
     score_cols = ", ".join(

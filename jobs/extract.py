@@ -123,7 +123,10 @@ def main(argv=None) -> int:
     results = results.withColumn("bucket", bucket_col(cfg.n_buckets)) \
                      .withColumn("processed_at", F.current_timestamp())
 
-    # WRITE results ...
+    # WRITE results ... (global metrics observed during the same action —
+    # no extra pass, SURVEY.md §4.2.5)
+    from databricks_pdf_ocr_spark.plans.metrics import observed_results
+    results, observation = observed_results(results)
     t_select = time.time()
     had_results = io.exists(RESULTS_TABLE)
     io.append(results, RESULTS_TABLE)
@@ -166,6 +169,10 @@ def main(argv=None) -> int:
         stats.update({k: h[k] for k in
                       ("docs_done", "pages_parsed", "ocr_fallbacks",
                        "span_count", "failed_spans")})
+    try:
+        stats["observed"] = observation.get
+    except Exception:
+        pass  # observation unavailable if the write produced no rows
     stats["elapsed_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats, default=str))
     spark.stop()

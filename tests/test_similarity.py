@@ -1,0 +1,66 @@
+"""Similarity-search operators: exact vs approximate recall, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_pdf_ocr_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return (emb.filter(F.col("vec_id") < 6)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+
+def _as_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    return out
+
+
+def test_brute_force_topk_exact_and_deterministic(emb, queries):
+    a = _as_map(S.brute_force_topk(emb, queries, k=5))
+    b = _as_map(S.brute_force_topk(emb, queries, k=5))
+    assert a == b and all(len(v) == 5 for v in a.values())
+
+
+def test_lsh_recall_against_brute_force(emb, queries):
+    exact = _as_map(S.brute_force_topk(emb, queries, k=5))
+    dim = len(emb.select("embedding").first()[0])
+    approx = _as_map(S.lsh_ann_topk(emb, queries, k=5, dim=dim,
+                                    n_planes=12, bands=6))
+    # bands=6 → r=2 bits/band → generous candidates → decent recall
+    hits = sum(len(set(exact[q]) & set(approx.get(q, []))) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"LSH recall too low: {hits}/{total}"
+
+
+def test_ivf_recall_against_brute_force(emb, queries):
+    exact = _as_map(S.brute_force_topk(emb, queries, k=5))
+    approx = _as_map(S.ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4))
+    hits = sum(len(set(exact[q]) & set(approx.get(q, []))) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"IVF recall too low: {hits}/{total}"
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    assigned, centroids = S.ivf_assign(emb, n_clusters=8)
+    rows = assigned.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in rows) == emb.count()
+    assert len(rows) >= 4, "clusters should be populated"
+    assert len(centroids) == 8
+
+
+def test_cosine_neardup_threshold(emb):
+    pairs = S.cosine_neardup_pairs(emb, threshold=0.5)
+    for r in pairs.limit(10).collect():
+        assert r["cosine"] >= 0.5
+        assert r["id_a"] < r["id_b"]
