@@ -330,7 +330,16 @@ class PdfDocument:
             if pos in seen or pos >= len(self.data):
                 raise PdfError("bad xref chain")
             seen.add(pos)
-            trailer = self._parse_xref_section(pos)
+            lex = _Lexer(self.data, pos)
+            if lex.peek(4) == b"xref":
+                trailer = self._parse_xref_section(pos)
+                # hybrid-reference files: classic table + /XRefStm pointer
+                xrs = trailer.get("XRefStm")
+                if isinstance(xrs, int) and xrs not in seen:
+                    seen.add(xrs)
+                    self._parse_xref_stream(xrs)
+            else:
+                trailer = self._parse_xref_stream(pos)  # PDF 1.5+ xref stream
             if not self.trailer:
                 self.trailer = trailer
             prev = trailer.get("Prev")
@@ -361,9 +370,67 @@ class PdfDocument:
                 if em.group(3) == b"n":
                     objnum = start + i
                     # first-seen wins (later sections in a /Prev chain are older)
-                    self.xref.setdefault(objnum, int(em.group(1)))
+                    self.xref.setdefault(objnum, ("n", int(em.group(1))))
                 # entries are 20 bytes, but tolerate 19/20 via regex-anchored advance
                 lex.pos += 20 if entry[18:20] in (b"\r\n", b" \n", b" \r") else 19
+
+    def _parse_xref_stream(self, pos: int) -> dict:
+        """PDF 1.5+ cross-reference stream (/Type /XRef): W-packed binary
+        entries, optional PNG-predictor Flate encoding, /Index subsections.
+        Type-2 entries point into object streams (/Type /ObjStm)."""
+        lex = _Lexer(self.data, pos)
+        try:
+            num = int(lex._read_token())
+            gen = int(lex._read_token())
+            kw = lex._read_token()
+        except (PdfError, ValueError) as e:
+            raise PdfError(f"no xref table or stream at byte {pos}") from e
+        if kw != b"obj":
+            raise PdfError(f"no xref table or stream at byte {pos}")
+        d = lex.parse_object()
+        if not isinstance(d, dict) or d.get("Type") != "XRef":
+            raise PdfError("object at startxref is not an /XRef stream")
+        lex._skip_ws()
+        if self.data[lex.pos:lex.pos + 6] != b"stream":
+            raise PdfError("/XRef object has no stream")
+        p = lex.pos + 6
+        if self.data[p:p + 2] == b"\r\n":
+            p += 2
+        elif self.data[p:p + 1] == b"\n":
+            p += 1
+        length = d.get("Length")
+        if isinstance(length, Ref):
+            raise PdfError("indirect /Length in xref stream unsupported")
+        data = _Stream(d, self.data[p:p + int(length)]).decoded()
+
+        w = [int(x) for x in d.get("W", [])]
+        if len(w) != 3:
+            raise PdfError("bad /W in xref stream")
+        row = sum(w)
+        size = int(d.get("Size", 0))
+        index = [int(x) for x in d.get("Index", [0, size])]
+
+        def field(buf: bytes, off: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(buf[off:off + width], "big")
+
+        pos_in = 0
+        for si in range(0, len(index), 2):
+            start, count = index[si], index[si + 1]
+            for i in range(count):
+                if pos_in + row > len(data):
+                    raise PdfError("truncated xref stream")
+                t = field(data, pos_in, w[0], 1)
+                f2 = field(data, pos_in + w[0], w[1], 0)
+                f3 = field(data, pos_in + w[0] + w[1], w[2], 0)
+                objnum = start + i
+                if t == 1:
+                    self.xref.setdefault(objnum, ("n", f2))
+                elif t == 2:
+                    self.xref.setdefault(objnum, ("c", f2, f3))
+                pos_in += row
+        return d
 
     # -- objects -----------------------------------------------------------
 
@@ -376,9 +443,16 @@ class PdfDocument:
         key = (ref.num, ref.gen)
         if key in self._cache:
             return self._cache[key]
-        off = self.xref.get(ref.num)
-        if off is None or off >= len(self.data):
+        entry = self.xref.get(ref.num)
+        if entry is None:
             raise PdfError(f"object {ref.num} not in xref")
+        if entry[0] == "c":  # lives inside an object stream
+            obj = self._load_from_objstm(entry[1], entry[2], ref.num)
+            self._cache[key] = obj
+            return obj
+        off = entry[1]
+        if off >= len(self.data):
+            raise PdfError(f"object {ref.num} offset out of range")
         lex = _Lexer(self.data, off)
         num = int(lex._read_token())
         gen = int(lex._read_token())
@@ -405,6 +479,37 @@ class PdfDocument:
             obj = _Stream(obj, raw)
         self._cache[key] = obj
         return obj
+
+    def _load_from_objstm(self, stm_num: int, idx: int, want_num: int):
+        """Extract object #want_num from an object stream (/Type /ObjStm):
+        header of (objnum, offset) pairs, then the objects back-to-back
+        starting at /First."""
+        stm = self.resolve(Ref(stm_num, 0))
+        if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
+            raise PdfError(f"object {stm_num} is not an /ObjStm")
+        data = stm.decoded()
+        n = int(self.resolve(stm.dict.get("N", 0)))
+        first = int(self.resolve(stm.dict.get("First", 0)))
+        hdr = _Lexer(data)
+        pairs = []
+        for _ in range(n):
+            onum = int(hdr._read_token())
+            ooff = int(hdr._read_token())
+            pairs.append((onum, ooff))
+        if idx >= len(pairs):
+            # tolerate off-by-index files: fall back to searching by number
+            match = [p for p in pairs if p[0] == want_num]
+            if not match:
+                raise PdfError(f"object {want_num} not in objstm {stm_num}")
+            onum, ooff = match[0]
+        else:
+            onum, ooff = pairs[idx]
+            if onum != want_num:
+                match = [p for p in pairs if p[0] == want_num]
+                if not match:
+                    raise PdfError(f"objstm index mismatch for {want_num}")
+                onum, ooff = match[0]
+        return _Lexer(data, first + ooff).parse_object()
 
     # -- page tree ---------------------------------------------------------
 
@@ -470,16 +575,60 @@ class _Stream:
         if filt is None:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.dict.get("DecodeParms")
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         data = self.raw
-        for f in filters:
+        for f, pm in zip(filters, parms_list):
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as e:
                     raise PdfError("bad FlateDecode stream") from e
+                if isinstance(pm, dict) and int(pm.get("Predictor", 1)) >= 10:
+                    data = _png_unpredict(
+                        data,
+                        int(pm.get("Columns", 1)) * int(pm.get("Colors", 1))
+                        * int(pm.get("BitsPerComponent", 8)) // 8)
             else:
                 raise PdfError(f"unsupported filter {f!r}")
         return data
+
+
+def _png_unpredict(data: bytes, row_len: int) -> bytes:
+    """Reverse PNG row predictors (None/Sub/Up/Average/Paeth) — xref
+    streams are almost always Flate + Predictor 12 (Up)."""
+    if row_len <= 0:
+        raise PdfError("bad predictor columns")
+    out = bytearray()
+    prev = bytearray(row_len)
+    stride = row_len + 1
+    for r in range(0, len(data) - stride + 1, stride):
+        ftype = data[r]
+        row = bytearray(data[r + 1:r + stride])
+        if ftype == 1:  # Sub
+            for i in range(1, row_len):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise PdfError(f"unknown PNG predictor {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 # ===========================================================================
@@ -613,13 +762,19 @@ def _escape_pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def write_pdf(pages: list[dict], compress: bool = True) -> bytes:
+def write_pdf(pages: list[dict], compress: bool = True,
+              xref_stream: bool = False) -> bytes:
     """Build a minimal valid PDF.
 
     ``pages`` is a list of dicts:
       ``{"runs": [(x, y, text), ...]}``            — a text page, or
       ``{"image": b"..."} ``                       — an image-only page
         (stub XObject stream drawn via ``Do``; exercises OCR fallback).
+
+    ``xref_stream=True`` emits a PDF 1.5-style file: the font object is
+    packed into a ``/Type /ObjStm`` object stream (type-2 xref entry) and
+    the cross-reference table is a ``/Type /XRef`` stream with Flate +
+    PNG-Up-predictor encoding — exercising the modern parser paths.
     """
     objects: list[bytes] = []   # 1-indexed bodies (without "N 0 obj" wrapper)
 
@@ -666,16 +821,67 @@ def write_pdf(pages: list[dict], compress: bool = True) -> bytes:
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums)))
     catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_node_placeholder)
 
-    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
+    if not xref_stream:
+        buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for i, body in enumerate(objects, start=1):
+            offsets.append(len(buf))
+            buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_pos = len(buf)
+        buf += b"xref\n0 %d\n" % (len(objects) + 1)
+        buf += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            buf += b"%010d 00000 n \n" % off
+        buf += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % (len(objects) + 1, catalog_num, xref_pos))
+        return bytes(buf)
+
+    # ---- PDF 1.5 layout: font → ObjStm; xref → /XRef stream --------------
+    font_body = objects[font_num - 1]
+    hdr = b"%d 0 " % font_num
+    objstm_payload = hdr + font_body
+    objstm_data = zlib.compress(objstm_payload)
+    objstm_num = add(b"")   # body patched below
+    objects[objstm_num - 1] = (
+        b"<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n%s\nendstream" % (len(hdr), len(objstm_data), objstm_data))
+    xref_num = len(objects) + 1
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
     for i, body in enumerate(objects, start=1):
-        offsets.append(len(buf))
+        if i == font_num:
+            continue  # lives in the object stream
+        offsets[i] = len(buf)
         buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
     xref_pos = len(buf)
-    buf += b"xref\n0 %d\n" % (len(objects) + 1)
-    buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += b"%010d 00000 n \n" % off
-    buf += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, catalog_num, xref_pos))
+
+    # entries for 0..xref_num, W = [1 4 2], PNG Up predictor
+    size = xref_num + 1
+    row_len = 7
+    rows = bytearray()
+    for objnum in range(size):
+        if objnum == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif objnum == font_num:
+            t, f2, f3 = 2, objstm_num, 0
+        elif objnum == xref_num:
+            t, f2, f3 = 1, xref_pos, 0
+        else:
+            t, f2, f3 = 1, offsets[objnum], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    # apply PNG Up filter per row
+    filtered = bytearray()
+    prev = bytes(row_len)
+    for r in range(0, len(rows), row_len):
+        row = rows[r:r + row_len]
+        filtered += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                    for i in range(row_len))
+        prev = row
+    xdata = zlib.compress(bytes(filtered))
+    buf += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> "
+            b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (xref_num, size, catalog_num, row_len, len(xdata), xdata))
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(buf)

@@ -29,6 +29,20 @@ def test_pdf_roundtrip_multi_page_and_compression():
         assert [p.runs[0].text for p in pages] == [f"Page {i} text" for i in range(4)]
 
 
+def test_pdf15_xref_stream_and_objstm_roundtrip():
+    """PDF 1.5 layout: /XRef stream (Flate + PNG-Up predictor) with a
+    type-2 entry pointing into a /Type /ObjStm object stream."""
+    pdf = pdfmini.write_pdf(
+        [{"runs": [(72, 720, "modern xref"), (72, 700, "second line")]},
+         {"image": b"img" * 10}],
+        xref_stream=True)
+    assert b"/Type /XRef" in pdf and b"/ObjStm" in pdf and b"xref\n" not in pdf
+    pages = pdfmini.parse_pdf(pdf)
+    assert len(pages) == 2
+    assert segment.reading_order_text(pages[0].runs) == "modern xref\nsecond line"
+    assert pages[1].image_bytes
+
+
 def test_pdf_escapes_and_octal():
     text = "paren (x) \\ backslash æøå"
     pdf = pdfmini.write_pdf([{"runs": [(72, 720, text)]}])
