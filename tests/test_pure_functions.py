@@ -36,7 +36,8 @@ def test_pdf15_xref_stream_and_objstm_roundtrip():
         [{"runs": [(72, 720, "modern xref"), (72, 700, "second line")]},
          {"image": b"img" * 10}],
         xref_stream=True)
-    assert b"/Type /XRef" in pdf and b"/ObjStm" in pdf and b"xref\n" not in pdf
+    assert b"/Type /XRef" in pdf and b"/ObjStm" in pdf
+    assert b"\nxref\n" not in pdf  # no classic table ("startxref" is fine)
     pages = pdfmini.parse_pdf(pdf)
     assert len(pages) == 2
     assert segment.reading_order_text(pages[0].runs) == "modern xref\nsecond line"
