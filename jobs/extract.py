@@ -133,7 +133,13 @@ def main(argv=None) -> int:
     t_extract = time.time()
     # ... THEN MARK lineage (re-scan of just-written columnar data is cheap
     # — column-pruned, no payload text read — and avoids recomputing)
-    pend_buckets = pending.select("bucket").distinct()
+    if args.mode == "reprocess_all" and args.fail_after_buckets is None \
+            and not args.max_docs:
+        # every bucket is pending by construction — skip the input re-scan
+        pend_buckets = spark.range(cfg.n_buckets).select(
+            F.col("id").cast("int").alias("bucket"))
+    else:
+        pend_buckets = pending.select("bucket").distinct()
     # column-prune BEFORE the dedup: metrics never touch the payload text,
     # so the dropDuplicates shuffle moves ~40 bytes/row instead of the docs
     this_run = (io.read(RESULTS_TABLE)
