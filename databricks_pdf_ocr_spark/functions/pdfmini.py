@@ -75,6 +75,11 @@ _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _TOKEN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 _NAME_RE = _TOKEN_RE
 _STR_SIMPLE = re.compile(rb"\(([^\\()]*)\)")
+# content-stream scanner: optional ws/comments, then a bare token OR the
+# first byte of a structured operand (string/hex/dict/array/name)
+_CS_TOK = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<tok>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)|(?P<delim>[(<\[/]))")
 
 
 class _Lexer:
@@ -647,7 +652,6 @@ def parse_content(content: bytes) -> tuple[list[Run], list[str]]:
     ``Td``/``TD`` translate the line matrix, ``Tm`` sets it (e/f terms),
     ``T*`` advances by the leading, ``BT`` resets.
     """
-    lex = _Lexer(content)
     operands: list = []
     runs: list[Run] = []
     do_names: list[str] = []
@@ -664,15 +668,24 @@ def parse_content(content: bytes) -> tuple[list[Run], list[str]]:
         # crude advance so consecutive Tj on one line keep left-to-right x order
         cx += 0.5 * 12 * len(txt) / 10
 
-    while True:
-        lex._skip_ws()
-        if lex.pos >= len(content):
-            break
-        c = content[lex.pos:lex.pos + 1]
-        if c in b"/(<[":  # name / string / hex-or-dict / array operand
-            operands.append(lex.parse_object())
+    # single-pass scan: one regex match per token (the content stream is the
+    # extraction hot loop); strings/hex/dicts/arrays delegate to the full
+    # object parser at the matched position
+    scan = _CS_TOK.match
+    pos = 0
+    n = len(content)
+    while pos < n:
+        m = scan(content, pos)
+        if m is None or m.end() == pos:
+            pos += 1  # stray delimiter (]/>>): skip, like the lexer would
             continue
-        tok = lex._read_token()
+        pos = m.end()
+        tok = m.group("tok")
+        if tok is None:  # ( < [ / — structured operand
+            lex = _Lexer(content, m.start("delim"))
+            operands.append(lex.parse_object())
+            pos = lex.pos
+            continue
         try:
             operands.append(int(tok))
             continue
