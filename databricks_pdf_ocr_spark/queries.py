@@ -322,6 +322,58 @@ def sessionize(spark, sf_dir):
             .agg(F.countDistinct("session_id").cast("long").alias("n_sessions")))
 
 
+@register("rollup_revenue", """
+SELECT coalesce(r_name, '<all>') AS region_name,
+       coalesce(n_name, '<all>') AS nation_name,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical aggregate — ROLLUP(region, nation) with grouping ids;
+    Catalyst expands to one Aggregate over an Expand (partial+final
+    combine as usual). Small dims broadcast onto the orders fact."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+                 F.count("*").cast("long").alias("n_orders"),
+                 (F.grouping("r_name") * 2 + F.grouping("n_name"))
+                 .cast("long").alias("gid"))
+            .select(F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+                    F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+                    "total_revenue", "n_orders", "gid"))
+
+
+@register("pivot_status_by_priority", """
+SELECT o_orderpriority,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot — status columns per priority row (guide 'pivot/unpivot');
+    fixed pivot values keep the plan a single pass."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .select("o_orderpriority",
+                    F.coalesce("F", F.lit(0)).cast("long").alias("n_f"),
+                    F.coalesce("O", F.lit(0)).cast("long").alias("n_o"),
+                    F.coalesce("P", F.lit(0)).cast("long").alias("n_p")))
+
+
 # ===========================================================================
 # Training-data pipeline operators
 # ===========================================================================
