@@ -374,6 +374,47 @@ def pivot_status_by_priority(spark, sf_dir):
                     F.coalesce("P", F.lit(0)).cast("long").alias("n_p")))
 
 
+@register("asof_join_events_orders", """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, o.o_orderkey AS last_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""")
+def asof_join_events_orders(spark, sf_dir):
+    """As-of join: latest order at-or-before each event, per user.  Spark
+    composition (tagged union + last-ignorenulls window, operators/asof.py)
+    checked against DuckDB's NATIVE ASOF JOIN."""
+    from .operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # pre-resolve time ties on the right (both engines agree on max key)
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy("o_custkey", "o_orderdate")
+         .agg(F.max("o_orderkey").alias("o_orderkey")))
+    joined = asof_join(ev, o, key="user_id", right_key="o_custkey",
+                       left_time="ts", right_time="o_orderdate",
+                       value_col="o_orderkey", out_col="last_orderkey")
+    return (joined.filter(F.col("last_orderkey").isNotNull())
+            .select("event_id", "last_orderkey"))
+
+
+@register("revenue_percentiles", """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderstatus
+""")
+def revenue_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont; `approx_percentile` is the sketch variant for scale)."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90")))
+
+
 # ===========================================================================
 # Training-data pipeline operators
 # ===========================================================================
