@@ -246,7 +246,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-                .alias("hamming"))
+                .cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

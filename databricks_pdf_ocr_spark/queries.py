@@ -518,8 +518,21 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
-@register("dedup_simhash_pairs", None)  # pair-join variant: rows-only check
+@register("dedup_simhash_pairs", f"""
+WITH sims AS ({_simhash_sql()}),
+chunks AS (
+  SELECT id, simhash, u.ci AS ci, ((simhash >> (u.ci * 8)) & 255) AS cv
+  FROM sims, (SELECT unnest(range(4)) AS ci) u
+)
+SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
 def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole chunk join — cross-checked
+    against the identical formulation in DuckDB (bit_count/xor parity)."""
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 

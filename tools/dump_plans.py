@@ -1,0 +1,62 @@
+"""Dump formatted physical plans for the headline operators → PLANS.md.
+
+Evidence that the plans are the intended ones: filters pushed to scans,
+narrow extraction (no payload shuffle), broadcast where a side is small,
+partial aggregation before shuffles.  Regenerate with:
+``python tools/dump_plans.py``.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from databricks_pdf_ocr_spark.config import ExtractConfig
+from databricks_pdf_ocr_spark.operators.extract import reassemble, run_extraction
+from databricks_pdf_ocr_spark.queries import QUERIES
+from databricks_pdf_ocr_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
+        "dedup_minhash_lsh", "embed_cosine_topk", "asof_join_events_orders"]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    spark = get_spark(master="local[8]", app_name="plans",
+                      shuffle_partitions=8)
+    parts = ["# PLANS — formatted physical plans for headline operators\n",
+             "Regenerate: `python tools/dump_plans.py`.  Read for: pushed "
+             "filters / pruned schemas at the scans, narrow (shuffle-free) "
+             "extraction, broadcast joins on small sides, partial "
+             "aggregation before every exchange.\n"]
+
+    from databricks_pdf_ocr_spark import fixtures
+    docs = fixtures.fixture_df(spark, 42, 200, fixtures.TINY, n_partitions=4)
+    cfg = ExtractConfig(shuffle_partitions=8)
+    parts.append("## extraction pipeline (scan → explode → mapInPandas "
+                 "→ reassembly)\n```\n"
+                 + plan_of(reassemble(run_extraction(docs, cfg))) + "```\n")
+
+    for name in SHOW:
+        df = QUERIES[name]["fn"](spark, SF)
+        parts.append(f"## {name}\n```\n{plan_of(df)}```\n")
+
+    Path("PLANS.md").write_text("\n".join(parts))
+    print("wrote PLANS.md")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
