@@ -641,6 +641,13 @@ def _png_unpredict(data: bytes, row_len: int) -> bytes:
 # ===========================================================================
 
 def _decode_pdf_text(raw: bytes) -> str:
+    # PDF text strings: UTF-16BE with BOM (the standard non-Latin encoding),
+    # else PDFDocEncoding ≈ latin-1 for our purposes
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
     return raw.decode("latin-1")
 
 
@@ -761,6 +768,18 @@ def parse_pdf(data: bytes) -> list[Page]:
 # ===========================================================================
 
 def _escape_pdf_string(s: str) -> bytes:
+    # non-latin1 text: emit as BOM-prefixed UTF-16BE (PDF 32000 §7.9.2.2)
+    if any(ord(ch) > 255 for ch in s):
+        payload = b"\xfe\xff" + s.encode("utf-16-be")
+        out = bytearray()
+        for b in payload:
+            if b in (0x28, 0x29, 0x5C):  # ( ) \
+                out += b"\\" + bytes([b])
+            elif 32 <= b < 127:
+                out.append(b)
+            else:
+                out += b"\\%03o" % b
+        return bytes(out)
     out = bytearray()
     for ch in s:
         o = ord(ch)
@@ -768,10 +787,8 @@ def _escape_pdf_string(s: str) -> bytes:
             out += b"\\" + ch.encode("latin-1")
         elif 32 <= o < 127:
             out.append(o)
-        elif o < 256:
+        else:
             out += b"\\%03o" % o
-        else:  # non-latin1: drop to '?' (fixtures stay latin-1)
-            out.append(0x3F)
     return bytes(out)
 
 

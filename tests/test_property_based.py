@@ -31,6 +31,21 @@ def test_pdf_writer_tokenizer_roundtrip(lines, compress):
     assert got == lines
 
 
+_any_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\r\n"),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_any_text, min_size=1, max_size=4))
+def test_pdf_unicode_string_roundtrip(lines):
+    """Non-latin text rides as BOM-prefixed UTF-16BE strings (PDF 32000
+    §7.9.2.2) and round-trips exactly."""
+    pages = [{"runs": [(72.0, 720.0 - 20 * i, t) for i, t in enumerate(lines)]}]
+    out = pdfmini.parse_pdf(pdfmini.write_pdf(pages))
+    assert [r.text for r in out[0].runs] == lines
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(st.tuples(st.sampled_from(["text"]),
                           st.text(string.printable, max_size=50)),
