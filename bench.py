@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from databricks_pdf_ocr_spark import fixtures
 from databricks_pdf_ocr_spark.config import ExtractConfig
 from databricks_pdf_ocr_spark.operators.extract import (
-    dedup_results, reassemble, run_extraction,
+    reassemble, run_extraction,
 )
 from databricks_pdf_ocr_spark.queries import QUERIES
 from databricks_pdf_ocr_spark.session import get_spark

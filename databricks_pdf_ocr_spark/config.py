@@ -9,7 +9,7 @@ partition counts).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 import json
 
 

@@ -717,7 +717,7 @@ def extract_e2e(spark, sf_dir):
     per-span output rows (stable order via explicit sort columns)."""
     from . import fixtures
     from .config import ExtractConfig
-    from .operators.extract import dedup_results, reassemble, run_extraction
+    from .operators.extract import reassemble, run_extraction
 
     cfg = ExtractConfig(n_buckets=16, shuffle_partitions=8)
     docs = fixtures.fixture_df(spark, seed=42, n_docs=80,

@@ -7,7 +7,7 @@ import pytest
 from databricks_pdf_ocr_spark import fixtures
 from databricks_pdf_ocr_spark.config import TEST_CONFIG
 from databricks_pdf_ocr_spark.operators.extract import (
-    dedup_results, explode_spans, reassemble, run_extraction,
+    explode_spans, reassemble, run_extraction,
 )
 from databricks_pdf_ocr_spark.schemas import DOCUMENTS_SCHEMA
 from pyspark.sql import functions as F

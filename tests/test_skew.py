@@ -2,7 +2,6 @@
 among small ones must extract correctly and, with salting on, its spans
 must spread across partitions instead of pinning one task."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from databricks_pdf_ocr_spark.config import TEST_CONFIG

@@ -6,7 +6,6 @@ import os
 
 from pyspark.sql import functions as F
 
-from databricks_pdf_ocr_spark import fixtures
 from databricks_pdf_ocr_spark.functions import pdfmini
 from databricks_pdf_ocr_spark.streaming.ingest import ingest_available
 
@@ -69,7 +68,7 @@ def test_ingested_pdfs_feed_extraction(spark, tmp_path):
             F.lit(0).alias("offset"))).alias("spans"))
     from databricks_pdf_ocr_spark.config import TEST_CONFIG
     from databricks_pdf_ocr_spark.operators.extract import (
-        dedup_results, reassemble, run_extraction)
+        reassemble, run_extraction)
     out = reassemble(run_extraction(docs, TEST_CONFIG)).collect()
     assert len(out) == 1
     assert out[0]["spans"][0]["text"] == "hello stream"
