@@ -559,6 +559,21 @@ class PdfDocument:
             out += b"\n"
         return bytes(out)
 
+    def font_cmaps(self, page: dict) -> dict[str, dict[int, str]]:
+        """Per-font /ToUnicode CMaps from the page's /Resources /Font."""
+        res = self.resolve(page.get("Resources", {})) or {}
+        fonts = self.resolve(res.get("Font", {})) or {}
+        out: dict[str, dict[int, str]] = {}
+        for name, ref in fonts.items():
+            fd = self.resolve(ref)
+            if isinstance(fd, dict) and "ToUnicode" in fd:
+                st = self.resolve(fd["ToUnicode"])
+                if isinstance(st, _Stream):
+                    cmap = parse_cmap(st.decoded())
+                    if cmap:
+                        out[name] = cmap
+        return out
+
     def xobject_streams(self, page: dict) -> dict[str, bytes]:
         res = self.resolve(page.get("Resources", {})) or {}
         xob = self.resolve(res.get("XObject", {})) or {}
@@ -651,13 +666,44 @@ def _decode_pdf_text(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
-def parse_content(content: bytes) -> tuple[list[Run], list[str]]:
+def parse_cmap(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap (single-byte code space): bfchar pairs and
+    bfrange runs, destinations decoded as UTF-16BE."""
+    out: dict[int, str] = {}
+
+    def hex2int(h: bytes) -> int:
+        return int(h, 16)
+
+    def hex2str(h: bytes) -> str:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for src, dst in re.findall(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                                   m.group(1)):
+            out[hex2int(src)] = hex2str(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                body):
+            lo_i, start, width = hex2int(lo), hex2int(dst), len(dst)
+            for code in range(lo_i, hex2int(hi) + 1):
+                out[code] = bytes.fromhex(
+                    format(start + code - lo_i, f"0{width}x")
+                ).decode("utf-16-be", "replace")
+    return out
+
+
+def parse_content(content: bytes,
+                  font_cmaps: dict[str, dict[int, str]] | None = None
+                  ) -> tuple[list[Run], list[str]]:
     """Decode a content stream into positioned text runs + names drawn by Do.
 
     Postfix token stream: operands accumulate until an operator consumes
     them.  Text positioning follows the PDF model restricted to translation:
     ``Td``/``TD`` translate the line matrix, ``Tm`` sets it (e/f terms),
-    ``T*`` advances by the leading, ``BT`` resets.
+    ``T*`` advances by the leading, ``BT`` resets.  When the current font
+    (tracked via ``Tf``) has a /ToUnicode CMap, shown bytes map through it.
     """
     operands: list = []
     runs: list[Run] = []
@@ -666,10 +712,14 @@ def parse_content(content: bytes) -> tuple[list[Run], list[str]]:
     cx = cy = 0.0          # current text position
     leading = 0.0
     in_text = False
+    cur_cmap: dict[int, str] | None = None
 
     def show(raw: bytes) -> None:
         nonlocal cx
-        txt = _decode_pdf_text(raw)
+        if cur_cmap is not None:
+            txt = "".join(cur_cmap.get(b, chr(b)) for b in raw)
+        else:
+            txt = _decode_pdf_text(raw)
         if txt:
             runs.append(Run(cx, cy, txt))
         # crude advance so consecutive Tj on one line keep left-to-right x order
@@ -710,6 +760,10 @@ def parse_content(content: bytes) -> tuple[list[Run], list[str]]:
             leading = 0.0
         elif op == b"ET":
             in_text = False
+        elif op == b"Tf" and len(operands) >= 2:
+            fname = operands[-2]
+            cur_cmap = (font_cmaps or {}).get(fname) \
+                if isinstance(fname, str) else None
         elif op == b"Td" and len(operands) >= 2:
             lx += float(operands[-2]); ly += float(operands[-1])
             cx, cy = lx, ly
@@ -756,7 +810,7 @@ def parse_pdf(data: bytes) -> list[Page]:
     pages: list[Page] = []
     for pg in doc.pages():
         content = doc.content_bytes(pg)
-        runs, do_names = parse_content(content)
+        runs, do_names = parse_content(content, doc.font_cmaps(pg))
         xobs = doc.xobject_streams(pg)
         imgs = [xobs[n] for n in do_names if n in xobs]
         pages.append(Page(runs=runs, image_bytes=imgs))
@@ -824,6 +878,31 @@ def write_pdf(pages: list[dict], compress: bool = True,
                           b"\nstream\n%s\nendstream" % (len(img), img))
             content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
             res = b"<< /XObject << /Im1 %d 0 R >> >>" % img_num
+        elif "cmap" in pg:
+            # custom-encoded font: /ToUnicode CMap + raw byte strings
+            bfchars = b"\n".join(
+                b"<%02x> <%s>" % (code, u.encode("utf-16-be").hex().encode())
+                for code, u in sorted(pg["cmap"].items()))
+            cmap_stream = (
+                b"/CIDInit /ProcSet findresource begin\n"
+                b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+                b"%d beginbfchar\n%s\nendbfchar\nend"
+                % (len(pg["cmap"]), bfchars))
+            cm_num = add(b"<< /Length %d >>\nstream\n%s\nendstream"
+                         % (len(cmap_stream), cmap_stream))
+            f2_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+                         b"/ToUnicode %d 0 R >>" % cm_num)
+            parts = [b"BT /F2 12 Tf"]
+            px = py = 0.0
+            for (x, y, raw) in pg.get("cmap_runs", []):
+                esc = b"".join(b"\\%03o" % b if b < 32 or b > 126
+                               or b in (0x28, 0x29, 0x5C) else bytes([b])
+                               for b in raw)
+                parts.append(b"%.2f %.2f Td (%s) Tj" % (x - px, y - py, esc))
+                px, py = x, y
+            parts.append(b"ET")
+            content = b" ".join(parts)
+            res = b"<< /Font << /F2 %d 0 R >> >>" % f2_num
         else:
             parts = [b"BT /F1 12 Tf"]
             px = py = 0.0

@@ -101,6 +101,27 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
+def hash_sample(df: DataFrame, fraction_pct: dict[str, int],
+                strata_col: str = "lang", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling: keep a row when
+    ``sha2(id) mod 100 < pct[stratum]``.
+
+    Unlike ``sampleBy`` (engine-RNG dependent), the hash gate is
+    reproducible across engines, runs, and cluster sizes — the property a
+    training-data pipeline needs so re-running curation yields the same
+    corpus.  Cost: a projection filter, no shuffle.
+    """
+    bucket = F.expr(
+        f"cast(conv(substr(sha2(cast({id_col} as string), 256), 1, 8), 16, 10) "
+        f"as bigint) % 100")
+    pct = None
+    for stratum, p in sorted(fraction_pct.items()):
+        pct = (F.when(F.col(strata_col) == stratum, F.lit(p)) if pct is None
+               else pct.when(F.col(strata_col) == stratum, F.lit(p)))
+    pct = pct.otherwise(F.lit(0)) if pct is not None else F.lit(0)
+    return df.filter(bucket < pct)
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 5, keep: int = 4) -> DataFrame:
     """Winnowing-style document fingerprint: the ``keep`` lexicographically

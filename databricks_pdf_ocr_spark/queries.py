@@ -674,6 +674,20 @@ def doc_fingerprint(spark, sf_dir):
 # Extraction-engine queries (the north-rule pipeline itself)
 # ===========================================================================
 
+@register("sample_stratified", """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 10 END
+""")
+def sample_stratified(spark, sf_dir):
+    """Deterministic hash-gate stratified sampling (engine-portable, unlike
+    RNG sampleBy) — 50% en / 20% de / 10% others."""
+    return (text_analysis.hash_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 50, "de": 20, "es": 10, "fr": 10, "zh": 10})
+        .select("doc_id", "lang"))
+
+
 @register("span_reassembly", """
 SELECT doc_id, text AS assembled FROM documents
 """)

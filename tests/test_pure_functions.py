@@ -44,6 +44,22 @@ def test_pdf15_xref_stream_and_objstm_roundtrip():
     assert pages[1].image_bytes
 
 
+def test_pdf_tounicode_cmap():
+    """Custom font encodings: /ToUnicode CMap maps raw byte codes to
+    unicode (the mechanism real-world PDFs use for non-standard fonts)."""
+    cmap = {0x41: "Α", 0x42: "β", 0x43: "→", 0x44: "fi"}  # incl. ligature
+    pdf = pdfmini.write_pdf([{"cmap": cmap,
+                              "cmap_runs": [(72, 720, b"ABCD"),
+                                            (72, 700, b"AZ")]}])
+    pages = pdfmini.parse_pdf(pdf)
+    texts = [r.text for r in pages[0].runs]
+    assert texts == ["Αβ→fi", "ΑZ"]  # unmapped byte falls back to chr()
+    # bfrange parsing
+    cm = pdfmini.parse_cmap(
+        b"2 beginbfrange\n<61> <63> <0041>\nendbfrange")
+    assert cm == {0x61: "A", 0x62: "B", 0x63: "C"}
+
+
 def test_pdf_escapes_and_octal():
     text = "paren (x) \\ backslash æøå"
     pdf = pdfmini.write_pdf([{"runs": [(72, 720, text)]}])
