@@ -102,13 +102,24 @@ def _html_payload(rng: random.Random) -> str:
     )
 
 
+_CMAP_GREEK = {0x41 + i: ch for i, ch in enumerate("αβγδεζηθικλμ")}
+
+
 def _pdf_payload(rng: random.Random, profile: FixtureProfile) -> str:
     n_pages = rng.randint(1, profile.pdf_pages_max)
     pages = []
     for _ in range(n_pages):
-        if rng.random() < profile.image_page_prob:
+        r = rng.random()
+        if r < profile.image_page_prob:
             img = bytes(rng.getrandbits(8) for _ in range(64))
             pages.append({"image": img})
+            continue
+        if r < profile.image_page_prob + 0.1:
+            # custom-encoded page: raw codes map through a /ToUnicode CMap
+            raw = bytes(rng.randrange(0x41, 0x41 + 12)
+                        for _ in range(rng.randint(4, 12)))
+            pages.append({"cmap": _CMAP_GREEK,
+                          "cmap_runs": [(72.0, 720.0, raw)]})
             continue
         runs = []
         two_col = rng.random() < profile.two_column_prob
