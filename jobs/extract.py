@@ -72,6 +72,9 @@ def main(argv=None) -> int:
                     help="TEST ONLY: process just the first k pending buckets "
                          "then exit nonzero (simulates a mid-run crash)")
     ap.add_argument("--skip-assemble", action="store_true")
+    ap.add_argument("--salt", action="store_true",
+                    help="span-level salted repartition before extraction "
+                         "(for inputs where single docs rival a whole split)")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="extract-job",
@@ -83,6 +86,7 @@ def main(argv=None) -> int:
         max_docs_per_run=args.max_docs,
         processing_mode=args.mode,
         specific_doc_ids=tuple(x for x in args.doc_ids.split(",") if x),
+        salt_spans=args.salt,
     )
     io = make_table_io(spark, args.tables)
     cp = CheckpointManager(io, cfg)
