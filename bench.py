@@ -56,7 +56,7 @@ def bench_docs_for(sf: float) -> int:
 
 
 def ensure_fixture_input(spark, n_docs: int) -> str:
-    path = f"/tmp/spark_graft_bench_input_v2_{BENCH_SEED}_{n_docs}"
+    path = f"/tmp/spark_graft_bench_input_v3_{BENCH_SEED}_{n_docs}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         df = fixtures.fixture_df(spark, BENCH_SEED, n_docs, fixtures.BENCH,

@@ -105,6 +105,36 @@ def _html_payload(rng: random.Random) -> str:
 _CMAP_GREEK = {0x41 + i: ch for i, ch in enumerate("αβγδεζηθικλμ")}
 
 
+def _page_lines(rng: random.Random) -> list[str]:
+    """Structured content shapes per FIXTURES.md §6 (mirrors the reference's
+    mock corpus: dictionary lists, invoices with labeled fields + totals,
+    textbook chapters with numbered sections)."""
+    shape = rng.choice(("plain", "invoice", "textbook", "dictionary"))
+    if shape == "invoice":
+        n_items = rng.randint(2, 4)
+        lines = [f"INVOICE #{rng.randint(1000, 9999)}",
+                 f"Date: 2026-01-{rng.randint(1, 28):02d}"]
+        total = 0
+        for _ in range(n_items):
+            qty, price = rng.randint(1, 9), rng.randint(5, 400)
+            total += qty * price
+            lines.append(f"Item: {rng.choice(_WORDS)} Qty: {qty} "
+                         f"Price: {price}.00")
+        lines.append(f"Total: {total}.00")
+        return lines
+    if shape == "textbook":
+        ch = rng.randint(1, 12)
+        return [f"Chapter {ch}: {_sentence(rng)}",
+                f"{ch}.1 {rng.choice(_WORDS).capitalize()} basics",
+                _sentence(rng),
+                f"{ch}.2 Advanced {rng.choice(_WORDS)}",
+                _sentence(rng)]
+    if shape == "dictionary":
+        return [f"{rng.choice(_WORDS)} (n.) {_sentence(rng)}"
+                for _ in range(rng.randint(3, 5))]
+    return [_sentence(rng) for _ in range(rng.randint(2, 6))]
+
+
 def _pdf_payload(rng: random.Random, profile: FixtureProfile) -> str:
     n_pages = rng.randint(1, profile.pdf_pages_max)
     pages = []
@@ -123,14 +153,14 @@ def _pdf_payload(rng: random.Random, profile: FixtureProfile) -> str:
             continue
         runs = []
         two_col = rng.random() < profile.two_column_prob
-        n_lines = rng.randint(2, 6)
-        for li in range(n_lines):
+        lines = _page_lines(rng)
+        for li, line in enumerate(lines):
             y = 720.0 - 20.0 * li
             if two_col:
-                runs.append((50.0, y, _sentence(rng)))
+                runs.append((50.0, y, line))
                 runs.append((330.0, y, _sentence(rng)))
             else:
-                runs.append((72.0, y, _sentence(rng)))
+                runs.append((72.0, y, line))
         pages.append({"runs": runs})
     raw = pdfmini.write_pdf(pages, compress=rng.random() < 0.5)
     return base64.b64encode(raw).decode("ascii")

@@ -36,7 +36,7 @@ def build_zip() -> str:
 
 
 def materialize_input(n_docs: int, seed: int = 42) -> str:
-    path = f"/tmp/spark_graft_scale_heavy3_{seed}_{n_docs}"
+    path = f"/tmp/spark_graft_scale_heavy4_{seed}_{n_docs}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from databricks_pdf_ocr_spark import fixtures
         from databricks_pdf_ocr_spark.session import get_spark
