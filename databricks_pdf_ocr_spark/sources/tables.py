@@ -72,6 +72,16 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
 
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_by: list[str]) -> None:
+        """Replace only the partitions present in ``df`` (dynamic partition
+        overwrite) — the parquet analogue of Iceberg's
+        overwrite-by-partition-filter; the rest of the table is untouched."""
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                            "dynamic")
+        (df.write.mode("overwrite").partitionBy(*partition_by)
+         .parquet(self.path(name)))
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
@@ -118,6 +128,13 @@ class IcebergTableIO(TableIO):
             from pyspark.sql import functions as F
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
         w.createOrReplace()
+
+    def overwrite_partitions(self, df: DataFrame, name: str,
+                             partition_by: list[str]) -> None:
+        if not self.exists(name):
+            self.append(df, name, partition_by=partition_by)
+        else:
+            df.writeTo(self.path(name)).overwritePartitions()
 
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")

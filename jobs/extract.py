@@ -166,11 +166,32 @@ def main(argv=None) -> int:
         spark.stop()
         return 3
 
-    # --- reassembly over the durable results table ------------------------
+    # --- incremental reassembly: only THIS run's buckets are rebuilt ------
+    # (a full-corpus reassembly per run is infeasible at 10^12 docs;
+    # dynamic partition overwrite replaces exactly the touched bucket
+    # partitions, leaving the rest of the extracted table untouched —
+    # the parquet analogue of Iceberg overwrite-by-partition-filter)
     stats = {"run_id": run_id, "fingerprint": fingerprint}
     if not args.skip_assemble:
-        assembled = reassemble(io.read(RESULTS_TABLE))
-        io.overwrite(assembled, EXTRACTED_TABLE)
+        # self-healing scope: this run's buckets, plus any bucket that has
+        # results but no assembled partition (a prior run died after its
+        # checkpoint mark but before assembly).  Rebuilding a bucket always
+        # reads the FULL results table for it, so partitions accumulate
+        # docs across runs/fingerprints correctly.
+        results_all = io.read(RESULTS_TABLE)
+        res_buckets = results_all.select("bucket").distinct()
+        ext = io.read(EXTRACTED_TABLE)
+        if ext is None:
+            to_assemble = res_buckets
+        else:
+            missing = res_buckets.join(ext.select("bucket").distinct(),
+                                       "bucket", "left_anti")
+            to_assemble = pend_buckets.unionByName(missing).distinct()
+        touched = results_all.join(F.broadcast(to_assemble), "bucket",
+                                   "left_semi")
+        assembled = reassemble(touched).withColumn(
+            "bucket", bucket_col(cfg.n_buckets))
+        io.overwrite_partitions(assembled, EXTRACTED_TABLE, ["bucket"])
         stats["docs_extracted"] = io.read(EXTRACTED_TABLE).count()
 
     hist = cp.run_history(1).collect()
