@@ -18,8 +18,15 @@ training-data pipeline needs the full ladder, implemented here Spark-first:
   Hamming distance (``bit_count(xor)``).
 
 Everything is built-in ``pyspark.sql.functions`` (JVM, codegen) — no UDFs.
-All hash choices (sha2 hex, ``conv`` hex→int) are chosen to be bit-identical
-in DuckDB SQL so every operator has an independent oracle.
+
+Two hash configurations (``hash_mode``):
+- ``"sha2"`` — oracle mode: sha2 hex (+ ``conv`` hex→int) is bit-identical
+  in DuckDB SQL, so every operator has an independent oracle.  Default,
+  and what the driver's correctness gate runs.
+- ``"xxhash64"`` — production mode: JVM-native 64-bit hashing, several-fold
+  cheaper per shingle/token; the configuration to run at 100 TB.  Same
+  algorithms, different hash family, so near-dup pair sets can differ on
+  borderline-Jaccard pairs (tested for agreement on planted dups).
 """
 
 from __future__ import annotations
@@ -136,22 +143,34 @@ def minhash_signature(text_col: str = "text", n: int = 3,
 
 def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", n: int = 3,
-                          k: int = 8) -> DataFrame:
+                          k: int = 8, hash_mode: str = "sha2") -> DataFrame:
     """(id, mh0..mh{k-1}) via explode + grouped min.
 
     Equivalent to :func:`minhash_signature` column expressions but shaped
     for scale: one explode pass computes all k hashes per shingle row
     (vs k duplicated whole-array transforms, which re-evaluate the
     tokenize+shingle pipeline k times), then a single hash-agg takes the
-    k mins — map-side partial aggregation keeps the shuffle tiny
-    (k × 64-byte digests per doc).  ~8× faster at bench scale.
+    k mins — map-side partial aggregation keeps the shuffle tiny.
+
+    ``hash_mode``:
+      - ``"sha2"`` (oracle mode): lexicographic min over hex digests —
+        bit-reproducible in DuckDB, the correctness-gate configuration;
+      - ``"xxhash64"`` (production mode): JVM-native 64-bit hashes seeded
+        per signature row — same MinHash family math, several-fold
+        cheaper per shingle; the configuration to run at corpus scale.
     """
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(shingles_col(text_col, n)).alias("s"))
-    hashed = sh.select("id", *[
-        F.sha2(F.concat(F.lit(f"{s}:"), F.col("s")), 256).alias(f"h{s}")
-        for s in range(k)
-    ])
+    if hash_mode == "xxhash64":
+        hashed = sh.select("id", *[
+            F.xxhash64(F.lit(s), F.col("s")).alias(f"h{s}")
+            for s in range(k)
+        ])
+    else:
+        hashed = sh.select("id", *[
+            F.sha2(F.concat(F.lit(f"{s}:"), F.col("s")), 256).alias(f"h{s}")
+            for s in range(k)
+        ])
     return hashed.groupBy("id").agg(*[
         F.min(f"h{s}").alias(f"mh{s}") for s in range(k)
     ])
@@ -159,7 +178,7 @@ def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, k: int = 8,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4, hash_mode: str = "sha2") -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     k signatures split into ``bands`` bands of r = k/bands rows; docs
@@ -168,15 +187,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     the classic linear-scale near-dup pipeline (vs the quadratic
     shingle join).  Empty-shingle docs (< n tokens) are excluded: their
     null signatures would otherwise all-collide.
+
+    ``hash_mode="xxhash64"`` is the production configuration (see
+    :func:`minhash_signatures_df`); band digests are then xxhash64 longs
+    instead of sha2 hex.  Pair sets differ only where the two hash
+    families estimate borderline Jaccard differently.
     """
     r = k // bands
     assert bands * r == k, "k must divide into equal bands"
-    sig = minhash_signatures_df(df, id_col, text_col, n, k)
-    band_cols = [
-        F.sha2(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]), 256)
-        .alias(f"band{b}")
-        for b in range(bands)
-    ]
+    sig = minhash_signatures_df(df, id_col, text_col, n, k, hash_mode)
+    if hash_mode == "xxhash64":
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+            .alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.sha2(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]), 256)
+            .alias(f"band{b}")
+            for b in range(bands)
+        ]
     banded = sig.select("id", F.posexplode(F.array(*band_cols))
                         .alias("band_idx", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -194,7 +225,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 32) -> DataFrame:
+            bits: int = 32, hash_mode: str = "sha2") -> DataFrame:
     """32-bit SimHash per document: (id, simhash bigint).
 
     token hash = first 8 hex chars of sha256 → int32-range; bit i of the
@@ -202,10 +233,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     tokens → one hash per row → groupBy doc with ``bits`` conditional sums
     (all codegen) → recombine bits.  Ties (sum == 0) round DOWN to 0 —
     deterministic and engine-portable.
+
+    ``hash_mode="xxhash64"``: token hash = low 32 bits of xxhash64 —
+    JVM-native production configuration (sha2 hex + conv stays the
+    DuckDB-parity oracle mode).
     """
     tok = df.select(F.col(id_col).alias("id"),
                     F.explode(tokens_col(text_col)).alias("t"))
-    h = F.expr("cast(conv(substr(sha2(t, 256), 1, 8), 16, 10) as bigint)")
+    if hash_mode == "xxhash64":
+        h = F.xxhash64("t").bitwiseAND(F.lit(0xFFFFFFFF))
+    else:
+        h = F.expr("cast(conv(substr(sha2(t, 256), 1, 8), 16, 10) as bigint)")
     tok = tok.select("id", h.alias("h"))
     sums = tok.groupBy("id").agg(*[
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -220,7 +258,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  hash_mode: str = "sha2") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Candidate generation: split the 32-bit fingerprint into
@@ -231,7 +270,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     chunks = max_hamming + 1
     width = 32 // chunks
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, hash_mode=hash_mode)
     chunk_cols = [
         F.shiftright(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1)).alias(f"c{i}")

@@ -14,12 +14,35 @@ plus the per-run cap (``max_docs_per_run``, reference ``settings.toml:21``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..config import ExtractConfig
 
 #: above this many ids, a literal IN-list stops being sane SQL
 _ISIN_LIMIT = 1000
+
+
+def cap_to_buckets(pending: DataFrame, max_docs: int) -> DataFrame:
+    """Cap a pending work set at checkpoint-BUCKET granularity.
+
+    Keeps whole buckets, in bucket order, until the cumulative doc count
+    reaches ``max_docs`` (so the cap rounds UP to a bucket boundary —
+    never truncates inside a bucket).  Buckets are the lineage/resume
+    unit: a run marks every touched bucket 'done', so any row-level cut
+    inside a bucket is permanent silent data loss on resume.
+
+    Cost: one per-bucket count aggregate (≤ n_buckets rows) + a running
+    sum over that tiny frame, then a broadcast semi-join back — the big
+    side is never shuffled.
+    """
+    counts = pending.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w = (Window.partitionBy(F.lit(1)).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    keep = (counts
+            .withColumn("__before", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+            .filter(F.col("__before") < max_docs)
+            .select("bucket"))
+    return pending.join(F.broadcast(keep), "bucket", "left_semi")
 
 
 def unprocessed(documents: DataFrame, results: DataFrame | None,
@@ -46,5 +69,9 @@ def unprocessed(documents: DataFrame, results: DataFrame | None,
             # unlike the reference's driver-side collect
             out = documents.join(done, "doc_id", "left_anti")
     if cfg.max_docs_per_run:
+        # row-level cap is safe HERE: this operator selects work without
+        # marking lineage.  The checkpointed job path must use
+        # cap_to_buckets instead (a row cut inside a marked bucket is
+        # silent data loss on resume).
         out = out.limit(cfg.max_docs_per_run)
     return out

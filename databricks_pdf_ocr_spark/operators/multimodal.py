@@ -74,12 +74,14 @@ def decode_media(df: DataFrame, content_col: str = "content",
             out = {k: [] for k in ("media_id", "kind", "byte_size", "format",
                                    "width", "height", "duration_ms",
                                    "decode_ok", "error_message")}
-            for _, row in pdf.iterrows():
-                payload = row[content_col]
+            # column-zip, not iterrows(): iterrows materializes a Series per
+            # row (~10-100x slower) — same pattern as extract.py's kernel
+            kinds = pdf[kind_col] if kind_col else ("image",) * len(pdf)
+            for payload, kind in zip(pdf[content_col], kinds):
                 payload = bytes(payload) if payload is not None else b""
                 mid = hashlib.sha256(payload).hexdigest()
                 out["media_id"].append(mid)
-                out["kind"].append(row[kind_col] if kind_col else "image")
+                out["kind"].append(kind)
                 out["byte_size"].append(len(payload))
                 if not payload:
                     out["format"].append(None)
@@ -131,8 +133,8 @@ def frame_sample(df: DataFrame, content_col: str = "content",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "frame_sha")}
-            for _, row in pdf.iterrows():
-                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+            for payload in pdf[content_col]:  # column-zip, not iterrows()
+                payload = bytes(payload) if payload is not None else b""
                 if not payload:
                     continue
                 mid = hashlib.sha256(payload).hexdigest()
@@ -159,8 +161,8 @@ def embed_media(df: DataFrame, content_col: str = "content") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+            for payload in pdf[content_col]:  # column-zip, not iterrows()
+                payload = bytes(payload) if payload is not None else b""
                 h = hashlib.sha256(payload).digest()
                 ids.append(hashlib.sha256(payload).hexdigest())
                 vecs.append([((h[i] / 255.0) * 2 - 1) for i in range(EMBED_DIM)])

@@ -178,19 +178,27 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """
     assigned, centroids = ivf_assign(embeddings, n_clusters,
                                      id_col=id_col, vec_col=vec_col)
-    # nearest clusters per query (driver-side math over tiny centroid list)
-    qrows = queries.select(F.col(qid_col).alias("query_id"),
-                           F.col(vec_col).alias("qv")).collect()
-    probe_rows = []
-    for r in qrows:
-        qv = list(r["qv"])
-        d = sorted(range(len(centroids)), key=lambda ci: sum(
-            (qv[i] - centroids[ci][i]) ** 2 for i in range(len(qv))))
-        for ci in d[:nprobe]:
-            probe_rows.append((r["query_id"], ci, qv))
+    # nearest clusters per query, fully distributed: broadcast the tiny
+    # centroid table onto the queries side and rank with a per-query
+    # window — no .collect() of user data (queries can be arbitrarily
+    # large; only the k×dim centroid model rides the driver).
     spark = embeddings.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, cluster int, qv array<double>")
+    cdf = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cluster int, cvec array<double>")
+    qdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda a, x: a + x)
+    wq = Window.partitionBy("query_id").orderBy("dist", "cluster")
+    probes = (queries
+              .select(F.col(qid_col).alias("query_id"),
+                      F.col(vec_col).alias("qv"))
+              .crossJoin(F.broadcast(cdf))
+              .withColumn("dist", qdist)
+              .withColumn("__r", F.row_number().over(wq))
+              .filter(F.col("__r") <= nprobe)
+              .select("query_id", "cluster", "qv"))
     cands = assigned.join(F.broadcast(probes), "cluster") \
         .filter(F.col("id") != F.col("query_id"))
     scored = cands.select(

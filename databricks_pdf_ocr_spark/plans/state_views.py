@@ -22,13 +22,33 @@ def latest_per_key(df: DataFrame, keys: list[str],
 
 
 def latest_results(results: DataFrame) -> DataFrame:
-    """Latest extraction row per (doc_id, offset, sub_idx) — the
-    latest-wins read over a results log that may contain rows from
-    several runs (reprocess_all appends; deterministic ids make identical
-    reruns collapse, this view resolves *changed* reruns)."""
-    return latest_per_key(
-        results, ["doc_id", "offset", "sub_idx"],
-        [F.desc("processed_at"), F.desc("result_id")])
+    """Latest-wins read over a results log: keep every row of the NEWEST
+    run that touched each document, drop all rows from older runs.
+
+    Doc granularity, not (doc_id, offset, sub_idx): a run always extracts
+    a document whole (work selection is bucket- and therefore doc-atomic),
+    so the newest run's rows are the complete truth for that doc.  A
+    per-span latest-wins would leave stale rows behind whenever a
+    re-ingested doc *shrinks* (fewer offsets / smaller sub_idx fan-out
+    than the previous version) and corrupt the reassembled sequence.
+
+    All rows of one run share a single ``processed_at`` (``F.current_
+    timestamp()`` is evaluated once per query); ``run_id`` breaks the
+    (never observed) exact-timestamp tie when present.
+
+    Plan: group-max over a ``Window.partitionBy(doc_id)`` — requires only
+    ClusteredDistribution(doc_id), so a downstream ``groupBy(doc_id)``
+    (reassembly) reuses the same exchange: latest-wins costs no extra
+    shuffle in the assembly path.
+    """
+    order = [F.col("processed_at")]
+    if "run_id" in results.columns:
+        order.append(F.col("run_id"))
+    w = Window.partitionBy("doc_id")
+    return (results
+            .withColumn("__mx", F.max(F.struct(*order)).over(w))
+            .filter(F.struct(*order) == F.col("__mx"))
+            .drop("__mx"))
 
 
 def latest_run_config(checkpoint: DataFrame) -> DataFrame:

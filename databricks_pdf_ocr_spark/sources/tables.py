@@ -76,10 +76,15 @@ class TableIO:
                              partition_by: list[str]) -> None:
         """Replace only the partitions present in ``df`` (dynamic partition
         overwrite) — the parquet analogue of Iceberg's
-        overwrite-by-partition-filter; the rest of the table is untouched."""
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                            "dynamic")
-        (df.write.mode("overwrite").partitionBy(*partition_by)
+        overwrite-by-partition-filter; the rest of the table is untouched.
+
+        The mode is passed as a per-write DataFrameWriter option, NOT via
+        ``spark.conf`` — a session-level set would silently turn every
+        later ``overwrite()`` with partitionBy into a partial overwrite.
+        """
+        (df.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*partition_by)
          .parquet(self.path(name)))
 
     def drop(self, name: str) -> None:

@@ -14,9 +14,14 @@ Flow (reference entrypoint analogue: ``main.py:56-101`` run_ocr_processing):
   1. load input → stamp checkpoint bucket
   2. anti-join buckets already done for this input fingerprint (resume)
   3. explode → salted repartition → Arrow-batched extraction
-  4. append flat results (partitioned by bucket) — WRITE ...
-  5. append per-bucket lineage metrics                — ... THEN MARK
-  6. reassemble offset-sorted span sequences → extracted table
+  4. append results PARTITIONED BY bucket (repartition first: one file per
+     touched bucket per run → real partition pruning downstream) — WRITE ...
+  5. append per-bucket lineage metrics (this run's rows only)  — ... THEN MARK
+  6. reassemble offset-sorted span sequences (latest-run-wins per doc)
+     → dynamic-overwrite only the touched bucket partitions
+
+The core is ``run_job(spark, args)`` so tests drive it in-process against
+the shared session; ``main()`` only owns session lifecycle + JSON printing.
 """
 
 from __future__ import annotations
@@ -29,15 +34,17 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import functions as F
+from pyspark.sql import Observation, functions as F
 
 from databricks_pdf_ocr_spark.config import ExtractConfig
 from databricks_pdf_ocr_spark.operators.extract import (
-    bucket_col, dedup_results, explode_spans, extract_spans, reassemble,
+    bucket_col, explode_spans, extract_spans, reassemble,
 )
+from databricks_pdf_ocr_spark.operators.incremental import cap_to_buckets
 from databricks_pdf_ocr_spark.plans.checkpoint import (
     CheckpointManager, new_run_id,
 )
+from databricks_pdf_ocr_spark.plans.state_views import latest_results
 from databricks_pdf_ocr_spark.session import get_spark
 from databricks_pdf_ocr_spark.sources.tables import make_table_io
 
@@ -58,14 +65,18 @@ def load_input(spark, spec: str, cfg: ExtractConfig):
     return df, f"path:{spec}"
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--tables", required=True, help="table warehouse dir")
     ap.add_argument("--mode", default="incremental",
                     choices=["incremental", "reprocess_all", "reprocess_specific"])
     ap.add_argument("--doc-ids", default="", help="csv for reprocess_specific")
-    ap.add_argument("--max-docs", type=int, default=None)
+    ap.add_argument("--max-docs", type=int, default=None,
+                    help="per-run work cap, rounded UP to whole checkpoint "
+                         "buckets (a row-level cap would truncate mid-bucket "
+                         "while lineage marks the whole bucket done — "
+                         "silently dropping the rest on resume)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--fail-after-buckets", type=int, default=None,
@@ -75,10 +86,11 @@ def main(argv=None) -> int:
     ap.add_argument("--salt", action="store_true",
                     help="span-level salted repartition before extraction "
                          "(for inputs where single docs rival a whole split)")
-    args = ap.parse_args(argv)
+    return ap
 
-    spark = get_spark(app_name="extract-job",
-                      shuffle_partitions=args.partitions)
+
+def run_job(spark, args) -> tuple[dict, int]:
+    """Execute one extraction run; returns (stats, exit_code)."""
     cfg = ExtractConfig(
         n_buckets=args.n_buckets,
         shuffle_partitions=args.partitions
@@ -90,13 +102,6 @@ def main(argv=None) -> int:
     )
     io = make_table_io(spark, args.tables)
     cp = CheckpointManager(io, cfg)
-
-    # steady-state warmup: spawn + import-load the Python workers and JIT the
-    # JVM before the clock starts (identical at every cluster size, so the
-    # throughput comparison measures the pipeline, not process spawn)
-    cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    spark.range(cores * 4, numPartitions=cores).mapInPandas(
-        lambda it: (pdf for pdf in it), schema="id long").count()
 
     t0 = time.time()
     documents, fingerprint = load_input(spark, args.input, cfg)
@@ -116,27 +121,39 @@ def main(argv=None) -> int:
                 .orderBy("bucket").limit(args.fail_after_buckets))
         pending = pending.join(F.broadcast(keep), "bucket", "left_semi")
     if args.max_docs:
-        pending = pending.limit(args.max_docs)
+        # cap at BUCKET granularity — the lineage/resume unit.  A plain
+        # .limit() truncates inside buckets that then get marked done,
+        # permanently dropping the cut docs from every future run.
+        pending = cap_to_buckets(pending, args.max_docs)
 
     run_id = new_run_id()
     spans = explode_spans(pending.select("doc_id", "spans"))
     results = extract_spans(spans, cfg)
-    # bucket kept as a plain column (row-group stats still prune); a
-    # partitionBy here would fan every task into n_buckets files
-    # (tasks × buckets small-file explosion)
-    results = results.withColumn("bucket", bucket_col(cfg.n_buckets)) \
-                     .withColumn("processed_at", F.current_timestamp())
+    results = (results
+               .withColumn("bucket", bucket_col(cfg.n_buckets))
+               .withColumn("run_id", F.lit(run_id))
+               .withColumn("input_fingerprint", F.lit(fingerprint))
+               .withColumn("processed_at", F.current_timestamp()))
 
-    # WRITE results ... (global metrics observed during the same action —
-    # no extra pass, SURVEY.md §4.2.5)
+    # WRITE results, partitioned by bucket.  repartition("bucket") first so
+    # each touched bucket lands as ONE file per run (the write has at most
+    # one task per bucket) — no tasks×buckets small-file explosion, and the
+    # lineage re-scan + incremental reassembly below prune to exactly the
+    # touched bucket directories instead of reading the whole corpus.
+    # Global metrics observed during the same action — no extra pass.
     from databricks_pdf_ocr_spark.plans.metrics import observed_results
-    results, observation = observed_results(results)
+    results, observation = observed_results(results.repartition("bucket"))
     t_select = time.time()
-    had_results = io.exists(RESULTS_TABLE)
-    io.append(results, RESULTS_TABLE)
+    io.append(results, RESULTS_TABLE, partition_by=["bucket"])
     t_extract = time.time()
-    # ... THEN MARK lineage (re-scan of just-written columnar data is cheap
-    # — column-pruned, no payload text read — and avoids recomputing)
+
+    # ... THEN MARK lineage.  Re-scan of the just-written data is cheap:
+    # partition pruning (pend_buckets semi-join) + the run_id pushed filter
+    # skip every file other runs wrote, and column pruning drops the
+    # payload text.  Filtering on run_id makes the per-bucket metrics
+    # exact — other work sets sharing a bucket no longer inflate
+    # docs_done/pages_parsed (and replayed duplicates can't occur within
+    # one run, so no dedup pass is needed).
     if args.mode == "reprocess_all" and args.fail_after_buckets is None \
             and not args.max_docs:
         # every bucket is pending by construction — skip the input re-scan
@@ -144,15 +161,11 @@ def main(argv=None) -> int:
             F.col("id").cast("int").alias("bucket"))
     else:
         pend_buckets = pending.select("bucket").distinct()
-    # column-prune BEFORE the dedup: metrics never touch the payload text,
-    # so the dropDuplicates shuffle moves ~40 bytes/row instead of the docs
     this_run = (io.read(RESULTS_TABLE)
+                .filter(F.col("run_id") == run_id)
                 .select("result_id", "doc_id", "offset", "sub_idx", "status",
                         "pages_parsed", "ocr_fallback", "bucket")
                 .join(F.broadcast(pend_buckets), "bucket", "left_semi"))
-    if had_results:
-        # only a pre-existing table can contain replayed duplicates
-        this_run = dedup_results(this_run)
     elapsed_ms = int((time.time() - t0) * 1000)
     cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms)
     t_mark = time.time()
@@ -161,23 +174,23 @@ def main(argv=None) -> int:
                       "phase_mark_sec": round(t_mark - t_extract, 2)}),
           file=sys.stderr)
 
+    stats = {"run_id": run_id, "fingerprint": fingerprint}
     if args.fail_after_buckets is not None:
-        print(json.dumps({"run_id": run_id, "simulated_crash": True}))
-        spark.stop()
-        return 3
+        stats["simulated_crash"] = True
+        return stats, 3
 
     # --- incremental reassembly: only THIS run's buckets are rebuilt ------
     # (a full-corpus reassembly per run is infeasible at 10^12 docs;
     # dynamic partition overwrite replaces exactly the touched bucket
     # partitions, leaving the rest of the extracted table untouched —
     # the parquet analogue of Iceberg overwrite-by-partition-filter)
-    stats = {"run_id": run_id, "fingerprint": fingerprint}
     if not args.skip_assemble:
         # self-healing scope: this run's buckets, plus any bucket that has
         # results but no assembled partition (a prior run died after its
         # checkpoint mark but before assembly).  Rebuilding a bucket always
-        # reads the FULL results table for it, so partitions accumulate
-        # docs across runs/fingerprints correctly.
+        # reads the FULL results table for it (partition-pruned to just
+        # those bucket dirs), so partitions accumulate docs across
+        # runs/fingerprints correctly.
         results_all = io.read(RESULTS_TABLE)
         res_buckets = results_all.select("bucket").distinct()
         ext = io.read(EXTRACTED_TABLE)
@@ -189,10 +202,19 @@ def main(argv=None) -> int:
             to_assemble = pend_buckets.unionByName(missing).distinct()
         touched = results_all.join(F.broadcast(to_assemble), "bucket",
                                    "left_semi")
-        assembled = reassemble(touched).withColumn(
+        # latest-run-wins per doc: a doc re-ingested with CHANGED content
+        # under the same doc_id leaves old+new rows in the log; without
+        # this view both versions would merge into a corrupted sequence.
+        # The window needs only ClusteredDistribution(doc_id), which the
+        # reassembly groupBy reuses — no extra shuffle.
+        assembled = reassemble(latest_results(touched)).withColumn(
             "bucket", bucket_col(cfg.n_buckets))
+        # docs count observed during the overwrite itself — never a
+        # full-table count over the (10^12-doc) extracted corpus
+        obs_asm = Observation("assembled")
+        assembled = assembled.observe(obs_asm, F.count(F.lit(1)).alias("docs"))
         io.overwrite_partitions(assembled, EXTRACTED_TABLE, ["bucket"])
-        stats["docs_extracted"] = io.read(EXTRACTED_TABLE).count()
+        stats["docs_assembled"] = obs_asm.get["docs"]
 
     hist = cp.run_history(1).collect()
     if hist:
@@ -205,9 +227,25 @@ def main(argv=None) -> int:
     except Exception:
         pass  # observation unavailable if the write produced no rows
     stats["elapsed_sec"] = round(time.time() - t0, 2)
+    return stats, 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="extract-job",
+                      shuffle_partitions=args.partitions)
+
+    # steady-state warmup: spawn + import-load the Python workers and JIT the
+    # JVM before the clock starts (identical at every cluster size, so the
+    # throughput comparison measures the pipeline, not process spawn)
+    cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.range(cores * 4, numPartitions=cores).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long").count()
+
+    stats, rc = run_job(spark, args)
     print(json.dumps(stats, default=str))
     spark.stop()
-    return 0
+    return rc
 
 
 if __name__ == "__main__":

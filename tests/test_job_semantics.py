@@ -1,0 +1,154 @@
+"""Job-level resume semantics, driven through ``jobs.extract.run_job``
+in-process: bucket-granular --max-docs (no mid-bucket truncation loss),
+latest-run-wins reassembly for changed re-ingests, crash/resume equality,
+and real partition pruning on the bucket-partitioned results table."""
+
+import contextlib
+import io as _io
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_pdf_ocr_spark import fixtures
+from databricks_pdf_ocr_spark.config import TEST_CONFIG
+from databricks_pdf_ocr_spark.schemas import DOCUMENTS_SCHEMA
+from jobs.extract import EXTRACTED_TABLE, RESULTS_TABLE, build_parser, run_job
+from tools.goldens import golden_extract
+
+SEED = 11
+N_DOCS = 40
+
+
+def _write_input(spark, tmp_path, rows, name):
+    path = str(tmp_path / name)
+    spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA) \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(spark, input_path, tables, *extra):
+    args = build_parser().parse_args(
+        ["--input", input_path, "--tables", tables, "--n-buckets", "8",
+         "--partitions", "8", *extra])
+    return run_job(spark, args)
+
+
+def _extracted_dict(spark, tables):
+    df = spark.read.parquet(f"{tables}/{EXTRACTED_TABLE}")
+    return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                          for s in r["spans"]]
+            for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return list(fixtures.gen_rows(SEED, N_DOCS, fixtures.TINY))
+
+
+def test_max_docs_caps_whole_buckets_without_loss(spark, tmp_path, rows):
+    """A --max-docs run followed by an uncapped resume must extract EVERY
+    doc — the round-1 row-level limit truncated mid-bucket while lineage
+    marked the whole bucket done, silently dropping the rest forever."""
+    inp = _write_input(spark, tmp_path, rows, "docs_v1")
+    tables = str(tmp_path / "t_cap")
+
+    stats1, rc1 = _run(spark, inp, tables, "--max-docs", "10")
+    assert rc1 == 0
+    assert stats1["docs_done"] < N_DOCS          # genuinely capped
+    assert stats1["docs_done"] >= 10             # rounded UP to buckets
+
+    # capped run must not have split any bucket: every touched bucket's
+    # results cover all of that bucket's input docs
+    res = spark.read.parquet(f"{tables}/{RESULTS_TABLE}")
+    docs_by_bucket = {}
+    from databricks_pdf_ocr_spark.operators.extract import bucket_col
+    full = (spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+            .withColumn("bucket", bucket_col(8)))
+    for r in full.select("bucket", "doc_id").collect():
+        docs_by_bucket.setdefault(r["bucket"], set()).add(r["doc_id"])
+    done = (res.select("bucket", "doc_id").distinct().collect())
+    got_by_bucket = {}
+    for r in done:
+        got_by_bucket.setdefault(r["bucket"], set()).add(r["doc_id"])
+    for b, got in got_by_bucket.items():
+        assert got == docs_by_bucket[b], f"bucket {b} was truncated mid-bucket"
+
+    stats2, rc2 = _run(spark, inp, tables)       # resume, uncapped
+    assert rc2 == 0
+    gold = {k: v for k, v in golden_extract(rows, _job_cfg()).items() if v}
+    assert _extracted_dict(spark, tables) == gold
+
+
+def _job_cfg():
+    # run_job builds its config from CLI args; mirror the knobs that affect
+    # extraction output so goldens match (defaults except bucket count)
+    from databricks_pdf_ocr_spark.config import ExtractConfig
+    return ExtractConfig(n_buckets=8, shuffle_partitions=8)
+
+
+def test_latest_run_wins_on_changed_reingest(spark, tmp_path, rows):
+    """Re-ingesting a doc_id with CHANGED (and fewer) spans must fully
+    replace the old extraction — not merge both versions."""
+    inp1 = _write_input(spark, tmp_path, rows, "docs_a")
+    tables = str(tmp_path / "t_reingest")
+    _run(spark, inp1, tables)
+
+    # v2: same doc ids, one replacement text span each (shrunken fan-out)
+    v2_rows = [(did, [{"kind": "text", "text": f"replacement for {did[:8]}",
+                       "media_ref": None, "offset": 0}])
+               for did, _ in rows[:7]]
+    inp2 = _write_input(spark, tmp_path, v2_rows, "docs_b")
+    _run(spark, inp2, tables)
+
+    got = _extracted_dict(spark, tables)
+    for did, _ in rows[:7]:
+        assert got[did] == [("text", f"replacement for {did[:8]}", None, 0)], \
+            f"doc {did} merged old+new versions"
+    # untouched docs keep their v1 extraction
+    gold = {k: v for k, v in golden_extract(rows, _job_cfg()).items() if v}
+    for did, spans in gold.items():
+        if did not in {d for d, _ in rows[:7]}:
+            assert got[did] == spans
+
+
+def test_crash_resume_equals_single_run(spark, tmp_path, rows):
+    inp = _write_input(spark, tmp_path, rows, "docs_crash")
+    t_crash = str(tmp_path / "t_crash")
+    t_clean = str(tmp_path / "t_clean")
+
+    stats, rc = _run(spark, inp, t_crash, "--fail-after-buckets", "2")
+    assert rc == 3 and stats["simulated_crash"]
+    _, rc2 = _run(spark, inp, t_crash)           # resume
+    assert rc2 == 0
+    _, rc3 = _run(spark, inp, t_clean)           # fresh single run
+    assert rc3 == 0
+    assert _extracted_dict(spark, t_crash) == _extracted_dict(spark, t_clean)
+
+
+def test_results_table_partition_pruning(spark, tmp_path, rows):
+    """The results table is partitioned by bucket: a one-bucket read must
+    plan a PartitionFilter (directory pruning), and incremental rerun must
+    add no new result rows."""
+    inp = _write_input(spark, tmp_path, rows, "docs_prune")
+    tables = str(tmp_path / "t_prune")
+    _run(spark, inp, tables)
+    res = spark.read.parquet(f"{tables}/{RESULTS_TABLE}")
+    some_bucket = res.select("bucket").first()[0]
+    pruned = res.filter(F.col("bucket") == some_bucket)
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+    # pruned scan touches only that bucket's directory
+    files = {r[0] for r in pruned.select(
+        F.input_file_name()).distinct().collect()}
+    assert files and all(f"bucket={some_bucket}/" in f for f in files)
+
+    # rerun same input+fingerprint: all buckets done → no new rows
+    n_before = res.count()
+    _run(spark, inp, tables)
+    assert spark.read.parquet(f"{tables}/{RESULTS_TABLE}").count() == n_before
