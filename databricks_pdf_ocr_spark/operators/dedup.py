@@ -141,6 +141,84 @@ def minhash_signature(text_col: str = "text", n: int = 3,
     ]
 
 
+def _minhash_signatures_fast(df: DataFrame, id_col: str, text_col: str,
+                             n: int, k: int) -> DataFrame:
+    """Production-mode signatures: one vectorized Arrow kernel, NO shuffle.
+
+    The JVM oracle path (explode shingle strings → k hashes/row → group-min)
+    spends its time building shingle strings and shuffling 260k+ hashed
+    rows per 5k docs.  Here signatures are a *narrow map*:
+
+      token hash   = blake2b-64 per token (C speed, deterministic),
+      shingle hash = affine combination of the n token hashes (numpy
+                     uint64 wrap arithmetic — no string materialization),
+      k min-hashes = (a_s · shingle + c_s) mod 2^64 permutations, odd a_s
+                     (the classic affine MinHash family), one vectorized
+                     outer-product min per doc.
+
+    Same algorithm and band-join downstream as the oracle mode; only the
+    hash family differs (pair sets agree on planted dups —
+    tests/test_dedup_modes.py).  At 100 TB this removes the explode
+    shuffle entirely: signatures are k longs per doc computed where the
+    doc lives.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, " + ", ".join(f"mh{i} long" for i in range(k))
+
+    def kern(batches):
+        import hashlib
+
+        import numpy as np
+
+        rng = np.random.RandomState(0x5EED)
+        a = (rng.randint(0, 2 ** 62, size=k, dtype=np.uint64)
+             << np.uint64(1)) | np.uint64(1)          # odd multipliers
+        c = rng.randint(0, 2 ** 63, size=k, dtype=np.uint64)
+        m = [np.uint64(x) for x in
+             (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+              0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)]
+        bl = hashlib.blake2b
+        memo: dict = {}  # token → uint64 hash; Zipfian reuse makes the
+        # blake2b call the exception, not the rule (bounded below)
+
+        def tok_hash(t, _bl=bl, _memo=memo):
+            h = _memo.get(t)
+            if h is None:
+                h = int.from_bytes(_bl(t.encode(), digest_size=8).digest(),
+                                   "big")
+                if len(_memo) < 1 << 18:
+                    _memo[t] = h
+            return h
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf["id"], pdf["t"]):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                if len(toks) < n:
+                    continue
+                th = np.fromiter((tok_hash(t) for t in toks),
+                                 dtype=np.uint64, count=len(toks))
+                base = th[: len(th) - n + 1] * m[0]
+                for j in range(1, n):
+                    base = base + th[j: len(th) - n + 1 + j] * m[j % len(m)]
+                ids.append(did)
+                sigs.append((a[:, None] * base[None, :] + c[:, None])
+                            .min(axis=1).astype(np.int64))
+            if ids:
+                s = np.vstack(sigs)
+                out = {"id": ids}
+                for i in range(k):
+                    out[f"mh{i}"] = s[:, i]
+                yield pd.DataFrame(out)
+
+    return (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+            .mapInPandas(kern, schema=schema))
+
+
 def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", n: int = 3,
                           k: int = 8, hash_mode: str = "sha2") -> DataFrame:
@@ -159,18 +237,15 @@ def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
         per signature row — same MinHash family math, several-fold
         cheaper per shingle; the configuration to run at corpus scale.
     """
+    if hash_mode == "xxhash64":
+        return _minhash_signatures_fast(df, id_col, text_col, n, k)
+
     sh = df.select(F.col(id_col).alias("id"),
                    F.explode(shingles_col(text_col, n)).alias("s"))
-    if hash_mode == "xxhash64":
-        hashed = sh.select("id", *[
-            F.xxhash64(F.lit(s), F.col("s")).alias(f"h{s}")
-            for s in range(k)
-        ])
-    else:
-        hashed = sh.select("id", *[
-            F.sha2(F.concat(F.lit(f"{s}:"), F.col("s")), 256).alias(f"h{s}")
-            for s in range(k)
-        ])
+    hashed = sh.select("id", *[
+        F.sha2(F.concat(F.lit(f"{s}:"), F.col("s")), 256).alias(f"h{s}")
+        for s in range(k)
+    ])
     return hashed.groupBy("id").agg(*[
         F.min(f"h{s}").alias(f"mh{s}") for s in range(k)
     ])

@@ -1,0 +1,58 @@
+"""Production (xxhash64) vs oracle (sha2) hash-mode agreement for the
+dedup ladder: both configurations must find the planted duplicates.
+
+The two modes use different hash families, so borderline-Jaccard candidate
+sets may differ — but exact duplicates (identical signatures by
+construction) and strong near-dups (collision probability ≈ 1 at these
+band parameters) must be found by both.
+"""
+
+import random
+
+import pytest
+
+from databricks_pdf_ocr_spark.operators import dedup
+
+_VOCAB = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+          "kilo lima mike november oscar papa quebec romeo sierra tango "
+          "uniform victor whiskey xray yankee zulu merge join sort hash "
+          "scan filter").split()
+
+
+def _text(rng, n=80):
+    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(99)
+    rows = [(f"doc{i}", _text(rng)) for i in range(20)]
+    dup_text = _text(rng)
+    rows += [("dup_a", dup_text), ("dup_b", dup_text)]
+    near = _text(rng).split()
+    near_b = list(near)
+    near_b[40] = "CHANGED"
+    rows += [("near_a", " ".join(near)), ("near_b", " ".join(near_b))]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.mark.parametrize("mode", ["sha2", "xxhash64"])
+def test_minhash_lsh_finds_planted_dups(corpus, mode):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_lsh_pairs(corpus, n=3, k=8, bands=4,
+                                     hash_mode=mode).collect()}
+    assert ("dup_a", "dup_b") in pairs
+    assert ("near_a", "near_b") in pairs
+
+
+@pytest.mark.parametrize("mode", ["sha2", "xxhash64"])
+def test_simhash_modes(corpus, mode):
+    fp = {r["id"]: r["simhash"] for r in
+          dedup.simhash(corpus, hash_mode=mode).collect()}
+    assert fp["dup_a"] == fp["dup_b"]
+    assert 0 <= fp["dup_a"] < 2 ** 32
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dedup.simhash_pairs(corpus, max_hamming=6,
+                                 hash_mode=mode).collect()}
+    assert pairs[("dup_a", "dup_b")] == 0
+    assert ("near_a", "near_b") in pairs
