@@ -42,11 +42,19 @@ EMBED_DIM = 16
 
 
 def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
-    """The real codec slot (PIL/libvips/ffmpeg).  Not available in this
-    environment — deliberately loud so nobody mistakes the fake for it."""
+    """The real codec slot.  PNG is fully implemented in pure stdlib
+    (``functions/pngmini.py`` — zlib inflate + per-row unfilter), so PNG
+    payloads decode for real; the remaining codecs (JPEG/WebP/video) need
+    imaging libraries this container doesn't have — deliberately loud so
+    nobody mistakes the fake for them."""
+    from ..functions import pngmini
+    if payload[:8] == pngmini.PNG_SIG:
+        w, h, _channels, _pix = pngmini.decode_png(payload)
+        return "png", w, h
     raise NotImplementedError(
-        "imaging libraries are not installed in this container; "
-        "the deterministic fake decoder is the hermetic test path")
+        "non-PNG codecs (JPEG/WebP/video) need imaging libraries not "
+        "installed in this container; the deterministic fake decoder is "
+        "the hermetic test path for those")
 
 
 def _decode_fake(payload: bytes) -> tuple[str, int, int, int]:
@@ -91,7 +99,21 @@ def decode_media(df: DataFrame, content_col: str = "content",
                     out["decode_ok"].append(False)
                     out["error_message"].append("empty payload")
                     continue
-                fmt, w, h, dur = _decode_fake(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    # real decode path (pure-stdlib PNG codec)
+                    try:
+                        fmt, w, h = _decode_image_real(payload)
+                        dur = 0
+                    except Exception as e:  # corrupt PNG → error row
+                        out["format"].append("png")
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["duration_ms"].append(0)
+                        out["decode_ok"].append(False)
+                        out["error_message"].append(str(e))
+                        continue
+                else:
+                    fmt, w, h, dur = _decode_fake(payload)
                 out["format"].append(fmt)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -119,6 +141,70 @@ def resize_plan(meta: DataFrame, max_edge: int = 1568) -> DataFrame:
         F.ceil(F.col("height") * scale).cast("int").alias("target_height"),
         (scale < 1.0).alias("needs_resize"),
     )
+
+
+#: rows emitted by resize_media (real pixel path)
+RESIZED_DDL = (
+    "media_id string, format string, width int, height int, "
+    "target_width int, target_height int, resized binary, "
+    "resize_ok boolean, error_message string"
+)
+
+
+def resize_media(df: DataFrame, content_col: str = "content",
+                 max_edge: int = 1568) -> DataFrame:
+    """REAL pixel resample for PNG payloads: decode (pure-stdlib codec) →
+    box-downsample to ``max_edge`` (reference: PIL LANCZOS to 1568,
+    ``clients/claude.py:27-38``) → re-encode PNG.
+
+    Narrow ``mapInPandas``; media bytes never shuffle.  Non-PNG payloads
+    (codecs unavailable in this container) come back ``resize_ok=false``
+    with the reason — the pipeline-continues error contract.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import pngmini
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "format", "width", "height",
+                                   "target_width", "target_height",
+                                   "resized", "resize_ok", "error_message")}
+
+            def emit(mid, fmt, w, h, tw, th, data, ok, err):
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_width"].append(tw)
+                out["target_height"].append(th)
+                out["resized"].append(data)
+                out["resize_ok"].append(ok)
+                out["error_message"].append(err)
+
+            for payload in pdf[content_col]:  # column-zip, not iterrows()
+                payload = bytes(payload) if payload is not None else b""
+                mid = hashlib.sha256(payload).hexdigest()
+                if payload[:8] != pngmini.PNG_SIG:
+                    emit(mid, None, 0, 0, 0, 0, None, False,
+                         "unsupported codec (only PNG decodes hermetically)")
+                    continue
+                try:
+                    w, h, ch, pix = pngmini.decode_png(payload)
+                    if max(w, h) > max_edge:
+                        # same geometry as resize_plan (ceil(edge*scale))
+                        import math
+                        scale = max_edge / max(w, h)
+                        tw = max(1, math.ceil(w * scale))
+                        th = max(1, math.ceil(h * scale))
+                        pix = pngmini.resize_box(pix, w, h, ch, tw, th)
+                    else:
+                        tw, th = w, h
+                    emit(mid, "png", w, h, tw, th,
+                         pngmini.encode_png(pix, tw, th, ch), True, None)
+                except Exception as e:
+                    emit(mid, "png", 0, 0, 0, 0, None, False, str(e))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RESIZED_DDL)
 
 
 def frame_sample(df: DataFrame, content_col: str = "content",
