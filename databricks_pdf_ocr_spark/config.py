@@ -42,6 +42,11 @@ class ExtractConfig:
     n_buckets: int = 64
     shuffle_partitions: int = 32
     arrow_batch_rows: int = 256
+    #: bounded retry for transient-class kernel errors (the reference
+    #: declares max_retries/retry_delay, settings.toml:26-27, without
+    #: implementing them; functions/extract_span.py does)
+    max_retries: int = 2
+    retry_backoff_s: float = 0.0
     ocr_model: str = "ocr-fallback-deterministic-v1"
     #: repartition spans on (doc_id, offset) before extraction.  OFF by
     #: default: shuffling raw payload bytes is the wrong plan at 100 TB —

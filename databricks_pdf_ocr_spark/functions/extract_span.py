@@ -22,10 +22,17 @@ from __future__ import annotations
 import base64
 import binascii
 import re
+import time
 
 from . import htmlmini, ocr_fallback, pdfmini, segment
 
 Output = tuple[str, str | None, str | None]  # (kind, text, media_ref)
+
+#: transient-class errors: worth retrying (the reference *declares*
+#: max_retries/retry_delay for its OCR client, ``settings.toml:26-27``,
+#: but never implements them — this wrapper does).  Deterministic
+#: failures (parse errors, size guards, bad base64) never retry.
+TRANSIENT_ERRORS = (ConnectionError, TimeoutError, InterruptedError)
 
 
 def _normalize_text(s: str) -> str:
@@ -39,8 +46,40 @@ def extract_span(
     *,
     max_payload_bytes: int,
     max_pages: int,
+    max_retries: int = 2,
+    retry_backoff_s: float = 0.0,
 ) -> tuple[str, str | None, int, int, list[Output]]:
-    """Returns (status, error_message, pages_parsed, ocr_fallbacks, outputs)."""
+    """Returns (status, error_message, pages_parsed, ocr_fallbacks, outputs).
+
+    Transient-class errors (``TRANSIENT_ERRORS`` — the kind a real OCR
+    backend raises) are retried up to ``max_retries`` times with
+    exponential backoff; everything else fails fast (deterministic
+    failures don't become cheaper by repeating them).
+    """
+    attempt = 0
+    while True:
+        try:
+            return _extract_once(kind, text, media_ref,
+                                 max_payload_bytes=max_payload_bytes,
+                                 max_pages=max_pages)
+        except TRANSIENT_ERRORS as e:
+            attempt += 1
+            if attempt > max_retries:
+                return ("failed",
+                        f"transient error after {attempt} attempts: "
+                        f"{type(e).__name__}: {e}", 0, 0, [])
+            if retry_backoff_s:
+                time.sleep(retry_backoff_s * (2 ** (attempt - 1)))
+
+
+def _extract_once(
+    kind: str,
+    text: str | None,
+    media_ref: str | None,
+    *,
+    max_payload_bytes: int,
+    max_pages: int,
+) -> tuple[str, str | None, int, int, list[Output]]:
     try:
         if kind == "text":
             if text is None:
@@ -96,5 +135,7 @@ def extract_span(
             return "success", None, 0, 0, [("media", None, media_ref)]
 
         return "failed", f"unknown span kind {kind!r}", 0, 0, []
+    except TRANSIENT_ERRORS:
+        raise  # bubble to the retry wrapper
     except Exception as e:  # belt-and-braces: never throw out of the kernel
         return "failed", f"unexpected error: {type(e).__name__}: {e}", 0, 0, []

@@ -372,10 +372,15 @@ class PdfDocument:
                 em = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
                 if not em:
                     raise PdfError(f"bad xref entry at byte {lex.pos}")
+                objnum = start + i
+                # first-seen wins (later sections in a /Prev chain are older);
+                # free ('f') entries are recorded too so an object DELETED by
+                # an incremental update shadows the older section's offset
+                # instead of resolving to stale bytes
                 if em.group(3) == b"n":
-                    objnum = start + i
-                    # first-seen wins (later sections in a /Prev chain are older)
                     self.xref.setdefault(objnum, ("n", int(em.group(1))))
+                else:
+                    self.xref.setdefault(objnum, ("f",))
                 # entries are 20 bytes, but tolerate 19/20 via regex-anchored advance
                 lex.pos += 20 if entry[18:20] in (b"\r\n", b" \n", b" \r") else 19
 
@@ -434,6 +439,8 @@ class PdfDocument:
                     self.xref.setdefault(objnum, ("n", f2))
                 elif t == 2:
                     self.xref.setdefault(objnum, ("c", f2, f3))
+                elif t == 0:  # freed object — shadow older 'n' entries
+                    self.xref.setdefault(objnum, ("f",))
                 pos_in += row
         return d
 
@@ -451,6 +458,9 @@ class PdfDocument:
         entry = self.xref.get(ref.num)
         if entry is None:
             raise PdfError(f"object {ref.num} not in xref")
+        if entry[0] == "f":
+            raise PdfError(f"object {ref.num} is freed (deleted by a newer "
+                           "incremental-update section)")
         if entry[0] == "c":  # lives inside an object stream
             obj = self._load_from_objstm(entry[1], entry[2], ref.num)
             self._cache[key] = obj

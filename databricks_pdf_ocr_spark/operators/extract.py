@@ -74,6 +74,8 @@ def _make_extract_batch(cfg: ExtractConfig):
     safe to pickle per task)."""
     max_bytes = cfg.max_payload_bytes
     max_pages = cfg.max_pages_per_doc
+    max_retries = cfg.max_retries
+    backoff = cfg.retry_backoff_s
     model = cfg.ocr_model
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,7 +113,8 @@ def _make_extract_batch(cfg: ExtractConfig):
                 mref_in = None if mref is None or (isinstance(mref, float)) else mref
                 status, err, pages, fallbacks, outputs = extract_span(
                     kind, text_in, mref_in,
-                    max_payload_bytes=max_bytes, max_pages=max_pages)
+                    max_payload_bytes=max_bytes, max_pages=max_pages,
+                    max_retries=max_retries, retry_backoff_s=backoff)
                 dur = int((time.perf_counter() - t0) * 1000)
                 off = int(off); tot = int(tot)
                 if status == "success" and outputs:

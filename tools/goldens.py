@@ -35,6 +35,8 @@ def golden_extract_doc(spans, cfg: ExtractConfig) -> list[OutSpan]:
             kind, text, media_ref,
             max_payload_bytes=cfg.max_payload_bytes,
             max_pages=cfg.max_pages_per_doc,
+            max_retries=cfg.max_retries,
+            retry_backoff_s=cfg.retry_backoff_s,
         )
         if status != "success":
             continue  # failed spans produce no output; pipeline continues
