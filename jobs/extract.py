@@ -157,15 +157,21 @@ def run_job(spark, args) -> tuple[dict, int]:
     if args.mode == "reprocess_all" and args.fail_after_buckets is None \
             and not args.max_docs:
         # every bucket is pending by construction — skip the input re-scan
-        pend_buckets = spark.range(cfg.n_buckets).select(
-            F.col("id").cast("int").alias("bucket"))
+        pend_list = list(range(cfg.n_buckets))
     else:
-        pend_buckets = pending.select("bucket").distinct()
+        # control-plane collect: ≤ n_buckets ints (bucket METADATA, not
+        # data).  A broadcast semi-join is not enough here — dynamic
+        # partition pruning declines to fire without a selective predicate
+        # on the build side, so the scan would read every bucket dir; a
+        # static isin over the partition column guarantees pruning.
+        pend_list = sorted(
+            r["bucket"] for r in pending.select("bucket").distinct().collect())
     this_run = (io.read(RESULTS_TABLE)
+                .filter(F.col("bucket").isin(pend_list)
+                        if pend_list else F.lit(False))
                 .filter(F.col("run_id") == run_id)
                 .select("result_id", "doc_id", "offset", "sub_idx", "status",
-                        "pages_parsed", "ocr_fallback", "bucket")
-                .join(F.broadcast(pend_buckets), "bucket", "left_semi"))
+                        "pages_parsed", "ocr_fallback", "bucket"))
     elapsed_ms = int((time.time() - t0) * 1000)
     cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms)
     t_mark = time.time()
@@ -192,16 +198,21 @@ def run_job(spark, args) -> tuple[dict, int]:
         # those bucket dirs), so partitions accumulate docs across
         # runs/fingerprints correctly.
         results_all = io.read(RESULTS_TABLE)
-        res_buckets = results_all.select("bucket").distinct()
+        # partition-column distinct: column-pruned to zero data columns
+        # (footer-only scan); ≤ n_buckets values → control-plane lists
+        res_list = {r["bucket"] for r in
+                    results_all.select("bucket").distinct().collect()}
         ext = io.read(EXTRACTED_TABLE)
         if ext is None:
-            to_assemble = res_buckets
+            to_assemble = sorted(res_list)
         else:
-            missing = res_buckets.join(ext.select("bucket").distinct(),
-                                       "bucket", "left_anti")
-            to_assemble = pend_buckets.unionByName(missing).distinct()
-        touched = results_all.join(F.broadcast(to_assemble), "bucket",
-                                   "left_semi")
+            have = {r["bucket"] for r in
+                    ext.select("bucket").distinct().collect()}
+            to_assemble = sorted(set(pend_list) | (res_list - have))
+        # static isin on the partition column → guaranteed directory
+        # pruning: only the touched bucket dirs are read for reassembly
+        touched = results_all.filter(
+            F.col("bucket").isin(to_assemble) if to_assemble else F.lit(False))
         # latest-run-wins per doc: a doc re-ingested with CHANGED content
         # under the same doc_id leaves old+new rows in the log; without
         # this view both versions would merge into a corrupted sequence.

@@ -48,6 +48,41 @@ def main() -> int:
                  "→ reassembly)\n```\n"
                  + plan_of(reassemble(run_extraction(docs, cfg))) + "```\n")
 
+    # bucket-partitioned results table: partition pruning + single-exchange
+    # latest-wins assembly (the two round-2 scale fixes, VERDICT #1/#2)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from databricks_pdf_ocr_spark.operators.extract import bucket_col
+    from databricks_pdf_ocr_spark.plans.state_views import latest_results
+
+    tdir = tempfile.mkdtemp(prefix="plans_results_")
+    results = (run_extraction(docs, cfg)
+               .withColumn("bucket", bucket_col(16))
+               .withColumn("run_id", F.lit("run-demo"))
+               .withColumn("processed_at", F.current_timestamp()))
+    (results.repartition("bucket").write.mode("overwrite")
+     .partitionBy("bucket").parquet(tdir))
+    table = spark.read.parquet(tdir)
+    pruned = (table.filter(F.col("bucket").isin([0, 1, 2]))
+              .filter(F.col("run_id") == "run-demo"))
+    parts.append("## results-table scan: bucket partition pruning\n"
+                 "(read of the bucket-partitioned results log exactly as "
+                 "the lineage re-scan and incremental reassembly do: the "
+                 "touched-bucket list is control-plane metadata, applied "
+                 "as a static isin — see `PartitionFilters` on `bucket` "
+                 "(directory pruning) plus the pushed `run_id` filter.  A "
+                 "broadcast semi-join was NOT enough: DPP declines to fire "
+                 "without a selective build-side predicate and the scan "
+                 "read every bucket dir.)\n```\n"
+                 + plan_of(pruned) + "```\n")
+    parts.append("## incremental assembly: latest-run-wins + reassemble\n"
+                 "(ONE exchange total: the window needs only "
+                 "ClusteredDistribution(doc_id), which the reassembly "
+                 "groupBy reuses)\n```\n"
+                 + plan_of(reassemble(latest_results(table))) + "```\n")
+
     for name in SHOW:
         df = QUERIES[name]["fn"](spark, SF)
         parts.append(f"## {name}\n```\n{plan_of(df)}```\n")
