@@ -5,12 +5,20 @@ Reference analogue: Dynaconf settings + ``PDFOCRConfig``
 shaped the reference's behavior (max payload size guard, page cap, batch
 caps) plus the scale knobs the north rule mandates (salt buckets,
 partition counts).
+
+``load_config`` reproduces the reference's dev/test/prod layering
+(Dynaconf ``environments=true`` + ``envvar_prefix``,
+``config.py:22-30``) with stdlib only:
+
+    dataclass defaults < TOML [default] < TOML [<env>]
+                       < ENGINE_<FIELD> env vars < explicit overrides
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, asdict
 import json
+import os
+from dataclasses import asdict, dataclass, fields
 
 
 @dataclass(frozen=True)
@@ -60,6 +68,66 @@ class ExtractConfig:
         d = asdict(self)
         d["specific_doc_ids"] = list(d["specific_doc_ids"])
         return json.dumps(d, sort_keys=True)
+
+
+def _coerce(field_type: str, raw):
+    if field_type.startswith("int"):
+        return int(raw)
+    if field_type.startswith("float"):
+        return float(raw)
+    if field_type == "bool":
+        if isinstance(raw, bool):
+            return raw
+        return str(raw).strip().lower() in ("1", "true", "yes", "on")
+    if field_type.startswith("tuple"):
+        if isinstance(raw, (list, tuple)):
+            return tuple(raw)
+        return tuple(x for x in str(raw).split(",") if x)
+    return raw
+
+
+def load_config(env: str | None = None,
+                config_file: str | None = None,
+                overrides: dict | None = None) -> ExtractConfig:
+    """Layered configuration, lowest to highest precedence:
+
+    1. ``ExtractConfig`` dataclass defaults
+    2. ``[default]`` section of the TOML file (``config_file`` arg, or
+       ``$ENGINE_SETTINGS_FILE``, or ``settings.toml`` next to the repo
+       root if present)
+    3. ``[<env>]`` section — env from the arg or ``$ENGINE_ENV``
+       (reference: ``ENV_FOR_DYNACONF``), default ``dev``
+    4. ``ENGINE_<FIELD>`` environment variables (reference:
+       ``PDF_OCR_<name>`` via ``envvar_prefix``)
+    5. explicit ``overrides`` (CLI flags win over everything)
+    """
+    layered: dict = {}
+    known = {f.name: str(f.type) for f in fields(ExtractConfig)}
+
+    path = config_file or os.environ.get("ENGINE_SETTINGS_FILE")
+    if path is None:
+        candidate = os.path.join(os.path.dirname(__file__), os.pardir,
+                                 "settings.toml")
+        path = candidate if os.path.exists(candidate) else None
+    if path:
+        import tomllib
+        with open(path, "rb") as fh:
+            doc = tomllib.load(fh)
+        env_name = env or os.environ.get("ENGINE_ENV", "dev")
+        for section in ("default", env_name):
+            for key, val in doc.get(section, {}).items():
+                if key in known:
+                    layered[key] = _coerce(known[key], val)
+
+    for name, ftype in known.items():
+        raw = os.environ.get(f"ENGINE_{name.upper()}")
+        if raw is not None:
+            layered[name] = _coerce(ftype, raw)
+
+    for key, val in (overrides or {}).items():
+        if val is not None:
+            layered[key] = val
+    return ExtractConfig(**layered)
 
 
 #: Small-payload config used by unit tests — a 64 KiB size guard lets

@@ -36,7 +36,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import Observation, functions as F
 
-from databricks_pdf_ocr_spark.config import ExtractConfig
+from databricks_pdf_ocr_spark.config import ExtractConfig, load_config
 from databricks_pdf_ocr_spark.operators.extract import (
     bucket_col, explode_spans, extract_spans, reassemble,
 )
@@ -78,7 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "while lineage marks the whole bucket done — "
                          "silently dropping the rest on resume)")
     ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--n-buckets", type=int, default=None,
+                    help="checkpoint bucket count (unset → layered config)")
+    ap.add_argument("--env", default=None,
+                    help="config layer to apply (dev|test|prod; "
+                         "default $ENGINE_ENV or dev)")
+    ap.add_argument("--config", default=None,
+                    help="settings.toml path (default $ENGINE_SETTINGS_FILE "
+                         "or repo-root settings.toml)")
     ap.add_argument("--fail-after-buckets", type=int, default=None,
                     help="TEST ONLY: process just the first k pending buckets "
                          "then exit nonzero (simulates a mid-run crash)")
@@ -91,15 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run_job(spark, args) -> tuple[dict, int]:
     """Execute one extraction run; returns (stats, exit_code)."""
-    cfg = ExtractConfig(
-        n_buckets=args.n_buckets,
-        shuffle_partitions=args.partitions
+    # layered config (defaults < settings.toml [default] < [env] <
+    # ENGINE_* env vars), with explicit CLI flags winning over everything
+    cfg = load_config(env=args.env, config_file=args.config, overrides={
+        "n_buckets": args.n_buckets,
+        "shuffle_partitions": args.partitions
         or int(spark.conf.get("spark.sql.shuffle.partitions")),
-        max_docs_per_run=args.max_docs,
-        processing_mode=args.mode,
-        specific_doc_ids=tuple(x for x in args.doc_ids.split(",") if x),
-        salt_spans=args.salt,
-    )
+        "max_docs_per_run": args.max_docs,
+        "processing_mode": args.mode,
+        "specific_doc_ids": tuple(x for x in args.doc_ids.split(",") if x),
+        "salt_spans": args.salt or None,
+    })
     io = make_table_io(spark, args.tables)
     cp = CheckpointManager(io, cfg)
 
