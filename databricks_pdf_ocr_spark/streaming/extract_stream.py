@@ -32,11 +32,17 @@ def start_extraction_stream(spark: SparkSession, input_dir: str,
               .parquet(input_dir))
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        results = run_extraction(batch_df, cfg)
-        (results
-         .withColumn("bucket", bucket_col(cfg.n_buckets))
-         .withColumn("processed_at", F.current_timestamp())
-         .write.mode("append").parquet(results_dir))
+        # same layout + stamps as the batch job: bucket-partitioned (one
+        # file per touched bucket per micro-batch → pruned reads), with a
+        # monotonic epoch run_id so latest-run-wins reads order correctly
+        results = (run_extraction(batch_df, cfg)
+                   .withColumn("bucket", bucket_col(cfg.n_buckets))
+                   .withColumn("run_id", F.lit(f"epoch-{epoch_id:012d}"))
+                   .withColumn("input_fingerprint",
+                               F.lit(f"stream:{input_dir}"))
+                   .withColumn("processed_at", F.current_timestamp()))
+        (results.repartition("bucket")
+         .write.mode("append").partitionBy("bucket").parquet(results_dir))
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -223,11 +223,13 @@ this file's table together with the ceiling numbers.  Rerun
 
 Conf: shuffle.partitions = cores; AQE on; Arrow maxRecordsPerBatch=256;
 12g driver heap (larger heaps caused 30s full-GC pauses after the
-allocation-heavy extraction stage); results written unpartitioned with
-bucket as a stats-pruned column; lineage aggregates a column-pruned
-projection.  Skew: heavy multi-hundred-span docs are balanced by fine
-input splits; the optional salted span repartition (`salt_spans`) covers
-pathological single-doc skew.
+allocation-heavy extraction stage); results repartitioned by bucket and
+written `partitionBy(bucket)` (one file per touched bucket per run —
+directory-pruned lineage re-scan and incremental reassembly); lineage
+aggregates a column-pruned, run_id-filtered projection.  Skew: heavy
+multi-hundred-span docs are balanced by fine input splits; the optional
+salted span repartition (`salt_spans`) covers pathological
+single-doc skew.
 
 Raw: `{json.dumps(report)}`
 
