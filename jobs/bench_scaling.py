@@ -53,7 +53,8 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
     # tmpfs: a single shared disk cannot emulate per-node write bandwidth;
     # memory-backed tables keep trailing writeback noise out of the timings
     tables = f"/dev/shm/spark_graft_scale_tables_{tag}_{cores}"
-    subprocess.run(["rm", "-rf", tables], check=True)
+    local_dir = f"/dev/shm/spark_graft_local_{tag}_{cores}"
+    subprocess.run(["rm", "-rf", tables, local_dir], check=True)
     t0 = time.time()
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}",
@@ -62,6 +63,11 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
          # 30s+ full-GC pauses right after the allocation-heavy extraction
          "--driver-memory", "12g",
          "--conf", "spark.driver.extraJavaOptions=-XX:MaxGCPauseMillis=300",
+         # shuffle spill dir on tmpfs: the bucket repartition before the
+         # partitioned results write shuffles extracted text; on this
+         # shared box the default /tmp disk bandwidth does NOT scale with
+         # cores, unlike a real cluster's per-node shuffle disks
+         "--conf", f"spark.local.dir={local_dir}",
          "--py-files", zpath,
          str(REPO / "jobs" / "extract.py"),
          "--input", input_path, "--tables", tables,
@@ -69,6 +75,7 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
          "--mode", "reprocess_all", "--skip-assemble"],
         capture_output=True, text=True, timeout=3600)
     wall = time.time() - t0
+    subprocess.run(["rm", "-rf", local_dir], check=False)
     for ln in proc.stderr.splitlines():
         if ln.startswith('{"phase'):
             print(f"local[{cores}] {ln}", file=sys.stderr)
