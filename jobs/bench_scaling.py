@@ -128,6 +128,16 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=2,
                     help="repeat each size, keep the fastest (the sandbox VM "
                          "shares a host; best-of filters neighbor noise)")
+    ap.add_argument("--min-ceiling", type=float, default=0.0,
+                    help="skip a trial when the just-measured host scaling "
+                         "ceiling is below this — a hosed window can't "
+                         "produce meaningful engine numbers, so don't burn "
+                         "a multi-minute spark pair proving it")
+    ap.add_argument("--wait-sec", type=int, default=90,
+                    help="sleep between ceiling probes while below "
+                         "--min-ceiling")
+    ap.add_argument("--max-probes", type=int, default=20,
+                    help="give up after this many below-ceiling probes")
     ap.add_argument("--tag", default="r")
     args = ap.parse_args()
 
@@ -137,13 +147,28 @@ def main() -> int:
     # interleaved trials (N, 4N, N, 4N, ...): drifting host noise hits both
     # sizes symmetrically; best-of-k per size filters the noisy windows
     runs_lo, runs_hi, ceilings = [], [], []
-    for t in range(args.trials):
-        ceilings.append(round(hw_calibration(args.n, args.xn), 3))
-        print(f"hw ceiling before trial {t}: {ceilings[-1]}", file=sys.stderr)
+    t, probes = 0, 0
+    while t < args.trials:
+        c = round(hw_calibration(args.n, args.xn), 3)
+        if c < args.min_ceiling:
+            probes += 1
+            print(f"host ceiling {c} < {args.min_ceiling} — waiting for a "
+                  f"healthier window ({probes}/{args.max_probes})",
+                  file=sys.stderr)
+            if probes >= args.max_probes:
+                print("no healthy window found; giving up", file=sys.stderr)
+                if not runs_lo:
+                    return 1
+                break
+            time.sleep(args.wait_sec)
+            continue
+        ceilings.append(c)
+        print(f"hw ceiling before trial {t}: {c}", file=sys.stderr)
         runs_lo.append(run_at(args.n, input_path, zpath, f"{args.tag}{t}"))
         time.sleep(5)  # settle: let the previous JVM/page-cache drain
         runs_hi.append(run_at(args.xn, input_path, zpath, f"{args.tag}{t}"))
         time.sleep(5)
+        t += 1
 
     def best(runs: list[dict]) -> dict:
         b = min(runs, key=lambda r: r["elapsed_sec"])
