@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--salt", action="store_true",
                     help="span-level salted repartition before extraction "
                          "(for inputs where single docs rival a whole split)")
+    ap.add_argument("--cache-results", action="store_true",
+                    help="persist results across write→mark (skips the "
+                         "lineage read-back; for runs that fit executor "
+                         "storage)")
     return ap
 
 
@@ -108,6 +112,7 @@ def run_job(spark, args) -> tuple[dict, int]:
         "processing_mode": args.mode,
         "specific_doc_ids": tuple(x for x in args.doc_ids.split(",") if x),
         "salt_spans": args.salt or None,
+        "cache_results": args.cache_results or None,
     })
     io = make_table_io(spark, args.tables)
     cp = CheckpointManager(io, cfg)
@@ -152,6 +157,11 @@ def run_job(spark, args) -> tuple[dict, int]:
     # Global metrics observed during the same action — no extra pass.
     from databricks_pdf_ocr_spark.plans.metrics import observed_results
     results, observation = observed_results(results.repartition("bucket"))
+    if cfg.cache_results:
+        # the write populates the cache; the mark aggregate below then
+        # reads cached partitions instead of re-scanning the table
+        from pyspark.storagelevel import StorageLevel
+        results = results.persist(StorageLevel.MEMORY_AND_DISK)
     t_select = time.time()
     io.append(results, RESULTS_TABLE, partition_by=["bucket"])
     t_extract = time.time()
@@ -175,14 +185,23 @@ def run_job(spark, args) -> tuple[dict, int]:
         # static isin over the partition column guarantees pruning.
         pend_list = sorted(
             r["bucket"] for r in pending.select("bucket").distinct().collect())
-    this_run = (io.read(RESULTS_TABLE)
-                .filter(F.col("bucket").isin(pend_list)
-                        if pend_list else F.lit(False))
-                .filter(F.col("run_id") == run_id)
-                .select("result_id", "doc_id", "offset", "sub_idx", "status",
-                        "pages_parsed", "ocr_fallback", "bucket"))
+    if cfg.cache_results:
+        # everything this run wrote is exactly the cached DataFrame
+        this_run = results.select(
+            "result_id", "doc_id", "offset", "sub_idx", "status",
+            "pages_parsed", "ocr_fallback", "bucket")
+    else:
+        this_run = (io.read(RESULTS_TABLE)
+                    .filter(F.col("bucket").isin(pend_list)
+                            if pend_list else F.lit(False))
+                    .filter(F.col("run_id") == run_id)
+                    .select("result_id", "doc_id", "offset", "sub_idx",
+                            "status", "pages_parsed", "ocr_fallback",
+                            "bucket"))
     elapsed_ms = int((time.time() - t0) * 1000)
     cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms)
+    if cfg.cache_results:
+        results.unpersist()
     t_mark = time.time()
     print(json.dumps({"phase_select_sec": round(t_select - t0, 2),
                       "phase_extract_write_sec": round(t_extract - t_select, 2),
