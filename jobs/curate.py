@@ -1,0 +1,160 @@
+"""Corpus-curation entrypoint: extracted documents → curated training set.
+
+Composes the engine's training-data operators into the pipeline a 100 TB
+run would execute AFTER extraction (the stage the reference stops short
+of — it ends at OCR'd text):
+
+  1. assembled span sequences → one text blob per doc (JVM-side concat
+     of text-kind spans, document order preserved)
+  2. text analysis: language ID, quality features, token counts
+  3. quality gate: drop docs below --min-quality (micro-units)
+  4. exact dedup: keep the canonical (min doc_id) copy per content hash
+  5. near-dup dedup: MinHash+LSH candidate pairs (production
+     xxhash64 mode — the sha2 oracle mode is the correctness gate's
+     configuration), greedy keep-smaller-id survivor rule
+  6. deterministic stratified sampling by predicted language
+     (hash gate — reproducible across engines/cluster sizes/reruns)
+
+Plan shape at scale: stages 1-3 are narrow (zero shuffles); 4 is one
+hash-agg; 5 is the banded LSH join (linear, no cross product); 6 is a
+filter.  The near-dup survivor rule uses pair doc_a < doc_b, so dropping
+every doc_b of a pair is a single distinct + left_anti join.
+
+Usage:
+    spark-submit --py-files dist/pkg.zip jobs/curate.py \\
+        --tables /tmp/engine_tables --out /tmp/engine_tables/curated \\
+        [--min-quality 300000] [--sample en=50,de=20,*=10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from databricks_pdf_ocr_spark.operators import dedup, text_analysis
+from databricks_pdf_ocr_spark.session import get_spark
+from databricks_pdf_ocr_spark.sources.tables import make_table_io
+
+EXTRACTED_TABLE = "extracted_documents"
+
+
+def doc_text(extracted: DataFrame) -> DataFrame:
+    """(doc_id, spans) → (doc_id, text): text-kind spans joined in order.
+
+    spans are already offset-ordered (reassembly contract), so a filter +
+    transform + array_join stays narrow — no window, no shuffle.
+    """
+    txt = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"]),
+        " ")
+    return (extracted.select("doc_id", txt.alias("text"))
+            .filter(F.length("text") > 0))
+
+
+def parse_sample_spec(spec: str) -> tuple[dict[str, int], int]:
+    """'en=50,de=20,*=10' → ({en:50, de:20}, default 10)."""
+    strata, default = {}, 0
+    for part in (p for p in spec.split(",") if p):
+        key, _, val = part.partition("=")
+        if key == "*":
+            default = int(val)
+        else:
+            strata[key.strip()] = int(val)
+    return strata, default
+
+
+def run_curate(spark, args) -> dict:
+    io = make_table_io(spark, args.tables)
+    extracted = io.read(EXTRACTED_TABLE)
+    if extracted is None:
+        raise SystemExit(f"no {EXTRACTED_TABLE} table under {args.tables}")
+
+    t0 = time.time()
+    docs = doc_text(extracted)
+
+    # -- text analysis (narrow, one pass over text) -------------------------
+    lang = text_analysis.language_id(docs)
+    quality = text_analysis.quality_features(docs)
+    toks = text_analysis.token_counts(docs)
+    enriched = (docs
+                .join(lang, docs.doc_id == lang.doc_id)
+                .drop(lang.doc_id)
+                .join(quality.select("doc_id", "quality_score_e6"), "doc_id")
+                .join(toks, "doc_id"))
+
+    gated = enriched.filter(F.col("quality_score_e6") >= args.min_quality)
+
+    # -- exact dedup: canonical copy per content hash ------------------------
+    canon = dedup.exact_duplicates(gated).select("canonical_id")
+    exact_kept = gated.join(
+        canon.withColumnRenamed("canonical_id", "doc_id"), "doc_id",
+        "left_semi")
+
+    # -- near-dup dedup (LSH candidates, keep the smaller id) ----------------
+    pairs = dedup.minhash_lsh_pairs(exact_kept, hash_mode=args.hash_mode)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
+
+    # -- deterministic stratified sample by predicted language ---------------
+    strata, default = parse_sample_spec(args.sample)
+    if strata or default:
+        pcts = dict(strata)
+        langs = {r["predicted_lang"] for r in
+                 neardup_kept.select("predicted_lang").distinct().collect()}
+        for la in langs:           # tiny control-plane set (≤ #languages)
+            pcts.setdefault(la, default)
+        sampled = text_analysis.hash_sample(
+            neardup_kept, pcts, strata_col="predicted_lang")
+    else:
+        sampled = neardup_kept
+
+    from pyspark.sql import Observation
+    obs = Observation("curate")
+    sampled = sampled.observe(
+        obs, F.count(F.lit(1)).alias("docs"),
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("bpe_tokens").alias("bpe_tokens"))
+    (sampled.write.mode("overwrite").partitionBy("predicted_lang")
+     .parquet(args.out))
+
+    stats = {"out": args.out, **{k: obs.get[k]
+                                 for k in ("docs", "ws_tokens", "bpe_tokens")},
+             "elapsed_sec": round(time.time() - t0, 2)}
+    return stats
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tables", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=int, default=0,
+                    help="drop docs with quality_score_e6 below this")
+    ap.add_argument("--sample", default="",
+                    help="stratified keep-percentages, e.g. 'en=50,de=20,*=10'"
+                         " (empty = keep all)")
+    ap.add_argument("--hash-mode", default="xxhash64",
+                    choices=["xxhash64", "sha2"],
+                    help="near-dup hash family (xxhash64 = production)")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="curate-job")
+    stats = run_curate(spark, args)
+    print(json.dumps(stats, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Curation pipeline (jobs/curate.py): extraction output → analyzed,
+deduped, stratified-sampled corpus, driven in-process."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_pdf_ocr_spark import fixtures
+from databricks_pdf_ocr_spark.schemas import DOCUMENTS_SCHEMA
+from jobs import curate
+from jobs.extract import build_parser as extract_parser, run_job
+
+SEED, N_DOCS = 21, 30
+
+
+@pytest.fixture(scope="module")
+def curated_env(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("curate")
+    rows = list(fixtures.gen_rows(SEED, N_DOCS, fixtures.TINY))
+    # plant an exact duplicate: re-ingest doc0's spans under a new id
+    rows.append(("ffff" + rows[0][0][4:], rows[0][1]))
+    inp = str(tmp / "docs")
+    spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA) \
+        .write.mode("overwrite").parquet(inp)
+    tables = str(tmp / "tables")
+    _, rc = run_job(spark, extract_parser().parse_args(
+        ["--input", inp, "--tables", tables, "--n-buckets", "8",
+         "--partitions", "8"]))
+    assert rc == 0
+    return rows, tables, str(tmp / "curated")
+
+
+def test_curate_end_to_end(spark, curated_env):
+    rows, tables, out = curated_env
+    args = curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out])
+    stats = curate.run_curate(spark, args)
+    got = spark.read.parquet(out)
+
+    # planted exact duplicate collapsed to the canonical (smaller) id
+    dup_new = "ffff" + rows[0][0][4:]
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    canonical = min(rows[0][0], dup_new)
+    assert canonical in ids and (({rows[0][0], dup_new} - {canonical})
+                                 .isdisjoint(ids))
+    # enriched columns present, quality/token metrics populated
+    for c in ("predicted_lang", "quality_score_e6", "ws_tokens",
+              "bpe_tokens", "text"):
+        assert c in got.columns
+    assert stats["docs"] == got.count() > 0
+    assert stats["ws_tokens"] > 0
+
+
+def test_curate_quality_gate_and_sampling(spark, curated_env):
+    rows, tables, out = curated_env
+    base = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_all"]))
+
+    gated = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_hq",
+         "--min-quality", "600000"]))
+    assert gated["docs"] < base["docs"]
+    hq = spark.read.parquet(out + "_hq")
+    assert hq.filter(F.col("quality_score_e6") < 600000).count() == 0
+
+    # deterministic sampling: same spec twice → identical doc sets
+    s1 = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_s1", "--sample", "*=40"]))
+    curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_s2", "--sample", "*=40"]))
+    ids1 = {r[0] for r in spark.read.parquet(out + "_s1")
+            .select("doc_id").collect()}
+    ids2 = {r[0] for r in spark.read.parquet(out + "_s2")
+            .select("doc_id").collect()}
+    assert ids1 == ids2 and 0 < len(ids1) < base["docs"]
+    assert s1["docs"] == len(ids1)
