@@ -72,10 +72,10 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
          str(REPO / "jobs" / "extract.py"),
          "--input", input_path, "--tables", tables,
          "--n-buckets", "64", "--partitions", str(cores),
-         "--mode", "reprocess_all", "--skip-assemble",
-         # bench-scale runs fit executor storage: mark from cache instead
-         # of a read-back (documented ExtractConfig.cache_results knob)
-         "--cache-results"],
+         "--mode", "reprocess_all", "--skip-assemble"],
+        # (--cache-results measured WORSE here: persisting ~GBs of results
+        # at 32c inflated the mark phase 3.7s -> 6.5s via GC pressure; the
+        # pruned column-projected read-back is the better mark path)
         capture_output=True, text=True, timeout=3600)
     wall = time.time() - t0
     subprocess.run(["rm", "-rf", local_dir], check=False)
