@@ -154,6 +154,12 @@ def resize_box(pixels: bytes, width: int, height: int, channels: int,
 
     if target_w <= 0 or target_h <= 0:
         raise PngError("bad target size")
+    if target_w > width or target_h > height:
+        # upscale would leave empty target buckets (division by a zero
+        # count → NaN → undefined uint8 cast); refuse loudly instead of
+        # returning garbage pixels
+        raise PngError(
+            f"upscale not supported: {width}x{height} -> {target_w}x{target_h}")
     a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     ys = (np.arange(height) * target_h) // height
     xs = (np.arange(width) * target_w) // width

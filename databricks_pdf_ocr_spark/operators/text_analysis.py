@@ -102,14 +102,17 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
 
 
 def hash_sample(df: DataFrame, fraction_pct: dict[str, int],
-                strata_col: str = "lang", id_col: str = "doc_id") -> DataFrame:
+                strata_col: str = "lang", id_col: str = "doc_id",
+                default_pct: int = 0) -> DataFrame:
     """Deterministic stratified sampling: keep a row when
     ``sha2(id) mod 100 < pct[stratum]``.
 
     Unlike ``sampleBy`` (engine-RNG dependent), the hash gate is
     reproducible across engines, runs, and cluster sizes — the property a
     training-data pipeline needs so re-running curation yields the same
-    corpus.  Cost: a projection filter, no shuffle.
+    corpus.  Cost: a projection filter, no shuffle.  ``default_pct``
+    applies to strata absent from ``fraction_pct`` — callers never need to
+    enumerate the stratum values (no distinct-collect over the corpus).
     """
     bucket = F.expr(
         f"cast(conv(substr(sha2(cast({id_col} as string), 256), 1, 8), 16, 10) "
@@ -118,8 +121,58 @@ def hash_sample(df: DataFrame, fraction_pct: dict[str, int],
     for stratum, p in sorted(fraction_pct.items()):
         pct = (F.when(F.col(strata_col) == stratum, F.lit(p)) if pct is None
                else pct.when(F.col(strata_col) == stratum, F.lit(p)))
-    pct = pct.otherwise(F.lit(0)) if pct is not None else F.lit(0)
+    pct = (pct.otherwise(F.lit(default_pct)) if pct is not None
+           else F.lit(default_pct))
     return df.filter(bucket < pct)
+
+
+def with_features(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """All text-analysis features in ONE narrow pass — language ID, quality
+    features, token counts appended to the input columns.
+
+    The fused form of ``language_id`` + ``quality_features`` +
+    ``token_counts`` for pipelines that need several features per doc:
+    three derive-then-self-join round-trips would shuffle the corpus text
+    three times at 100 TB, while every feature here is a pure column
+    expression over ``text`` — zero joins, zero shuffles (the two chained
+    ``select``s below collapse into the same narrow stage).
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    punct = F.size(F.split(F.col(text_col), r"[.,;:!?]")) - 1
+    n_stop = F.size(F.filter(toks, _in_set(_STOPWORDS))).cast("long")
+    ws = F.size(F.split(F.col(text_col), " ")).cast("long")
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_RE}', 0)")) \
+        .cast("long")
+    staged = df.select(
+        "*", *lang_scores(text_col),
+        n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
+        punct.alias("__punct"), n_stop.alias("__n_stop"),
+        ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{la}") for la in langs])
+    pred = None
+    for la in reversed(langs):  # reversed so earlier langs win ties
+        cond = F.when(F.col(f"score_{la}") == best, F.lit(la))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    nt, nc = F.col("n_tokens"), F.col("n_chars")
+    pu, st = F.col("__punct"), F.col("__n_stop")
+    raw_score = (
+        F.least(nt / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least((st / nt) * 5, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least((pu / nc) * 20, F.lit(1.0))) * 0.3)
+    return (staged.select(
+        *df.columns, "n_tokens", "n_chars", "ws_tokens", "bpe_tokens",
+        pred.alias("predicted_lang"),
+        best.cast("long").alias("best_score"),
+        F.round((nc - (nt - 1)) / nt, 6).alias("avg_word_len"),
+        F.round(pu / nc, 6).alias("punct_ratio"),
+        F.round(st / nt, 6).alias("stopword_ratio"),
+        F.floor(raw_score * 1e6 + F.lit(0.5)).cast("long")
+        .alias("quality_score_e6")))
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id",

@@ -67,6 +67,35 @@ class CheckpointManager:
         done = self.done_buckets(input_fingerprint)
         return with_bucket.join(F.broadcast(done), "bucket", "left_anti")
 
+    def next_run_seq(self) -> int:
+        """Monotonic run ordinal: 1 + the max sequence ever recorded.
+
+        Wall-clock (``processed_at``) + random run-id hex is NOT a safe
+        latest-wins ordering — an NTP step between runs, or a timestamp
+        tie, would pick the "latest" run arbitrarily and silently revive a
+        stale doc version in reassembly.  The checkpoint table is the
+        engine's one durable, totally-ordered record of runs, so its max
+        ordinal + 1 is the authoritative next sequence (control-plane
+        aggregate over the tiny lineage table).
+        """
+        cp = self.io.read(CHECKPOINT_TABLE)
+        if cp is None or "run_seq" not in cp.columns:
+            return 1
+        mx = cp.agg(F.max("run_seq")).first()[0]
+        return int(mx or 0) + 1
+
+    def all_marked_buckets(self) -> set[int]:
+        """Distinct buckets with any lineage mark, across fingerprints —
+        the assembly-scope source (≤ n_buckets ints from the tiny
+        checkpoint table; never a listing/scan over the results corpus).
+        A bucket whose results committed but whose mark didn't (crash in
+        the write→mark window) is still *pending* for its input, so the
+        resume run re-extracts it and carries it in pend_list instead."""
+        cp = self.io.read(CHECKPOINT_TABLE)
+        if cp is None:
+            return set()
+        return {r["bucket"] for r in cp.select("bucket").distinct().collect()}
+
     def run_history(self, k: int = 10) -> DataFrame:
         """Latest runs with aggregate metrics (reference:
         ``managers/state.py:106-132`` orderBy+limit top-k)."""
@@ -87,10 +116,13 @@ class CheckpointManager:
     # -- write side --------------------------------------------------------
 
     def mark_from_results(self, results: DataFrame, run_id: str,
-                          input_fingerprint: str, duration_ms: int) -> None:
+                          input_fingerprint: str, duration_ms: int,
+                          run_seq: int | None = None) -> None:
         """Aggregate per-bucket metrics from a results DataFrame and append
         one 'done' lineage row per bucket (map-side partial agg → tiny
         shuffle → tiny write)."""
+        if run_seq is None:
+            run_seq = self.next_run_seq()
         metrics = (
             results.withColumn("bucket", bucket_col(self.cfg.n_buckets))
             .groupBy("bucket")
@@ -108,6 +140,7 @@ class CheckpointManager:
             )
             .select(
                 F.lit(run_id).alias("run_id"),
+                F.lit(run_seq).cast("long").alias("run_seq"),
                 F.lit(input_fingerprint).alias("input_fingerprint"),
                 F.col("bucket"),
                 F.lit("done").alias("status"),

@@ -32,16 +32,23 @@ def latest_results(results: DataFrame) -> DataFrame:
     re-ingested doc *shrinks* (fewer offsets / smaller sub_idx fan-out
     than the previous version) and corrupt the reassembled sequence.
 
-    All rows of one run share a single ``processed_at`` (``F.current_
-    timestamp()`` is evaluated once per query); ``run_id`` breaks the
-    (never observed) exact-timestamp tie when present.
+    Run recency is ``run_seq`` (the checkpoint table's monotonic run
+    ordinal, stamped on every results row) when present: wall-clock +
+    random-hex run_id alone would order arbitrarily on a ``processed_at``
+    tie or wrongly after a backwards NTP step between runs, silently
+    reviving a stale doc version in reassembly.  ``processed_at`` /
+    ``run_id`` remain as tiebreakers (and as the fallback ordering for
+    pre-run_seq tables).
 
     Plan: group-max over a ``Window.partitionBy(doc_id)`` — requires only
     ClusteredDistribution(doc_id), so a downstream ``groupBy(doc_id)``
     (reassembly) reuses the same exchange: latest-wins costs no extra
     shuffle in the assembly path.
     """
-    order = [F.col("processed_at")]
+    order = []
+    if "run_seq" in results.columns:
+        order.append(F.col("run_seq"))
+    order.append(F.col("processed_at"))
     if "run_id" in results.columns:
         order.append(F.col("run_id"))
     w = Window.partitionBy("doc_id")

@@ -86,6 +86,7 @@ RESULTS_DDL = (
 
 CHECKPOINT_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
+    T.StructField("run_seq", T.LongType(), False),               # monotonic run ordinal
     T.StructField("input_fingerprint", T.StringType(), False),  # identifies the work set
     T.StructField("bucket", T.IntegerType(), False),            # pmod(xxhash64(doc_id), n)
     T.StructField("status", T.StringType(), False),             # done|failed

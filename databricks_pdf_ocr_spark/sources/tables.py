@@ -58,8 +58,37 @@ class TableIO:
             return None
         return self.spark.read.parquet(self.path(name))
 
+    def _check_layout(self, name: str, partition_by: list[str] | None) -> None:
+        """Refuse to append a mismatched layout into an existing table.
+
+        Mixing partitioned and non-partitioned files in one directory
+        silently mis-reads depending on which file Spark samples for
+        schema; tables written by a pre-partitioning version of the engine
+        must be dropped (or migrated) rather than appended into.
+        """
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return
+        entries = os.listdir(p)
+        has_root_files = any(e.endswith(".parquet") for e in entries)
+        part_dirs = sorted({e.split("=", 1)[0] for e in entries
+                            if "=" in e and os.path.isdir(os.path.join(p, e))})
+        if partition_by and has_root_files:
+            raise ValueError(
+                f"table '{name}' holds non-partitioned files; cannot append "
+                f"partitionBy({partition_by}) data — drop or migrate it first")
+        if partition_by and part_dirs and part_dirs != sorted(partition_by):
+            raise ValueError(
+                f"table '{name}' is partitioned by {part_dirs}, "
+                f"not {sorted(partition_by)}")
+        if not partition_by and part_dirs:
+            raise ValueError(
+                f"table '{name}' is partitioned by {part_dirs}; cannot "
+                f"append non-partitioned data — pass partition_by")
+
     def append(self, df: DataFrame, name: str,
                partition_by: list[str] | None = None) -> None:
+        self._check_layout(name, partition_by)
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -81,15 +81,10 @@ def run_curate(spark, args) -> dict:
     t0 = time.time()
     docs = doc_text(extracted)
 
-    # -- text analysis (narrow, one pass over text) -------------------------
-    lang = text_analysis.language_id(docs)
-    quality = text_analysis.quality_features(docs)
-    toks = text_analysis.token_counts(docs)
-    enriched = (docs
-                .join(lang, docs.doc_id == lang.doc_id)
-                .drop(lang.doc_id)
-                .join(quality.select("doc_id", "quality_score_e6"), "doc_id")
-                .join(toks, "doc_id"))
+    # -- text analysis: ALL features in one narrow select (zero joins, zero
+    # shuffles before the dedup stage — three derive-and-join-back passes
+    # here would shuffle the corpus text three times at 100 TB) -------------
+    enriched = text_analysis.with_features(docs)
 
     gated = enriched.filter(F.col("quality_score_e6") >= args.min_quality)
 
@@ -107,13 +102,11 @@ def run_curate(spark, args) -> dict:
     # -- deterministic stratified sample by predicted language ---------------
     strata, default = parse_sample_spec(args.sample)
     if strata or default:
-        pcts = dict(strata)
-        langs = {r["predicted_lang"] for r in
-                 neardup_kept.select("predicted_lang").distinct().collect()}
-        for la in langs:           # tiny control-plane set (≤ #languages)
-            pcts.setdefault(la, default)
+        # default_pct covers unlisted languages inside the filter itself —
+        # no distinct-collect pass over the curated corpus to enumerate them
         sampled = text_analysis.hash_sample(
-            neardup_kept, pcts, strata_col="predicted_lang")
+            neardup_kept, strata, strata_col="predicted_lang",
+            default_pct=default)
     else:
         sampled = neardup_kept
 

@@ -141,11 +141,16 @@ def run_job(spark, args) -> tuple[dict, int]:
         pending = cap_to_buckets(pending, args.max_docs)
 
     run_id = new_run_id()
+    # monotonic run ordinal from the checkpoint log: the latest-wins
+    # ordering primary (wall-clock + random hex alone misorders on a
+    # timestamp tie or a backwards NTP step between runs)
+    run_seq = cp.next_run_seq()
     spans = explode_spans(pending.select("doc_id", "spans"))
     results = extract_spans(spans, cfg)
     results = (results
                .withColumn("bucket", bucket_col(cfg.n_buckets))
                .withColumn("run_id", F.lit(run_id))
+               .withColumn("run_seq", F.lit(run_seq).cast("long"))
                .withColumn("input_fingerprint", F.lit(fingerprint))
                .withColumn("processed_at", F.current_timestamp()))
 
@@ -199,7 +204,8 @@ def run_job(spark, args) -> tuple[dict, int]:
                             "status", "pages_parsed", "ocr_fallback",
                             "bucket"))
     elapsed_ms = int((time.time() - t0) * 1000)
-    cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms)
+    cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms,
+                         run_seq=run_seq)
     if cfg.cache_results:
         results.unpersist()
     t_mark = time.time()
@@ -226,10 +232,14 @@ def run_job(spark, args) -> tuple[dict, int]:
         # those bucket dirs), so partitions accumulate docs across
         # runs/fingerprints correctly.
         results_all = io.read(RESULTS_TABLE)
-        # partition-column distinct: column-pruned to zero data columns
-        # (footer-only scan); ≤ n_buckets values → control-plane lists
-        res_list = {r["bucket"] for r in
-                    results_all.select("bucket").distinct().collect()}
+        # assembly scope from the CHECKPOINT table (≤ runs×n_buckets tiny
+        # rows), never a listing/distinct over the results corpus — at
+        # 10^12 docs even a partition-column-only distinct pays the file
+        # listing; with Iceberg this is the `partitions` metadata table,
+        # here it's the lineage log carrying the same information.  A
+        # results-committed-but-unmarked bucket (crash in the write→mark
+        # window) stays pending for its input and re-enters via pend_list.
+        res_list = cp.all_marked_buckets() | set(pend_list)
         ext = io.read(EXTRACTED_TABLE)
         if ext is None:
             to_assemble = sorted(res_list)

@@ -104,3 +104,15 @@ def test_run_history_topk(env):
     cp_rows = io.read(CHECKPOINT_TABLE)
     assert cp_rows.filter(F.col("status") == "done").count() > 0
     assert cp_rows.select("config_json").first()[0].startswith("{")
+
+
+def test_next_run_seq_is_monotonic(env):
+    io, cp, rows, df = env
+    assert cp.next_run_seq() == 1          # empty table
+    pending = cp.filter_pending(df, FP)
+    _process(io, cp, pending, "seq1")
+    assert cp.next_run_seq() == 2
+    # a second mark (different fingerprint) advances it again
+    results = io.read("extraction_results")
+    cp.mark_from_results(dedup_results(results), new_run_id(), FP + "-b", 1)
+    assert cp.next_run_seq() == 3

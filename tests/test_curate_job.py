@@ -73,3 +73,25 @@ def test_curate_quality_gate_and_sampling(spark, curated_env):
             .select("doc_id").collect()}
     assert ids1 == ids2 and 0 < len(ids1) < base["docs"]
     assert s1["docs"] == len(ids1)
+
+
+def test_with_features_matches_individual_operators(spark):
+    """The fused single-select feature stage must agree exactly with the
+    three standalone operators it replaces (language_id, quality_features,
+    token_counts) — and add zero joins/exchanges to the plan."""
+    from databricks_pdf_ocr_spark.operators import text_analysis as ta
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    fused = ta.with_features(docs)
+    ref = (ta.language_id(docs)
+           .join(ta.quality_features(docs), "doc_id")
+           .join(ta.token_counts(docs), "doc_id"))
+    cols = ["doc_id", "predicted_lang", "best_score", "n_tokens", "n_chars",
+            "avg_word_len", "punct_ratio", "stopword_ratio",
+            "quality_score_e6", "ws_tokens", "bpe_tokens"]
+    assert fused.select(cols).exceptAll(ref.select(cols)).count() == 0
+    assert ref.select(cols).exceptAll(fused.select(cols)).count() == 0
+    # zero wide operators in the fused plan
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

@@ -66,3 +66,21 @@ def test_latest_wins_view(spark):
                               "k int, v int, s string")
     top = latest_per_key(d, ["k"], [F.desc("v")])
     assert {(r["k"], r["s"]) for r in top.collect()} == {(1, "b"), (2, "c")}
+
+
+def test_latest_wins_prefers_run_seq_over_wallclock(spark):
+    """run_seq (monotonic checkpoint ordinal) is the latest-wins primary:
+    a later run whose wall-clock stepped BACKWARDS (NTP adjustment) must
+    still win over the earlier run."""
+    rows, df = _docs(spark, n=4)
+    r1 = (run_extraction(df, TEST_CONFIG)
+          .withColumn("run_seq", F.lit(1).cast("long"))
+          .withColumn("processed_at",
+                      F.lit("2026-01-02 00:00:00").cast("timestamp")))
+    r2 = (run_extraction(df, TEST_CONFIG)       # later run, earlier clock
+          .withColumn("run_seq", F.lit(2).cast("long"))
+          .withColumn("processed_at",
+                      F.lit("2026-01-01 00:00:00").cast("timestamp")))
+    latest = latest_results(r1.unionByName(r2))
+    assert latest.count() == r1.count()
+    assert latest.filter(F.col("run_seq") != 2).count() == 0

@@ -83,3 +83,12 @@ def test_resize_media_real_pixels(spark):
 
     r = out[(0, 0)]
     assert not r["resize_ok"] and "codec" in r["error_message"]
+
+
+def test_resize_box_rejects_upscale():
+    # upscale would leave empty target buckets (NaN pixels) — must raise
+    pix = _pixels(random.Random(7), 4, 4, 3)
+    with pytest.raises(pngmini.PngError):
+        pngmini.resize_box(pix, 4, 4, 3, 8, 4)
+    with pytest.raises(pngmini.PngError):
+        pngmini.resize_box(pix, 4, 4, 3, 4, 8)

@@ -60,3 +60,23 @@ def test_append_create_exists_drop(spark, io):
     assert io.read(t).count() == 4
     io.drop(t)
     assert not io.exists(t)
+
+
+def test_append_layout_guard(spark, tmp_tables):
+    """Appending a mismatched partitioning layout must refuse loudly —
+    mixing layouts in one directory mis-reads depending on which file
+    Spark samples for schema (pre-partitioning tables must be dropped)."""
+    io = TableIO(spark, tmp_tables)
+    df = spark.createDataFrame([(0, "x")], "bucket int, payload string")
+
+    io.append(df, "flat")                          # non-partitioned table
+    with pytest.raises(ValueError, match="non-partitioned"):
+        io.append(df, "flat", partition_by=["bucket"])
+
+    io.append(df, "parted", partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        io.append(df, "parted")                    # flat into partitioned
+    with pytest.raises(ValueError, match="partitioned by"):
+        io.append(df, "parted", partition_by=["payload"])  # wrong column
+    io.append(df, "parted", partition_by=["bucket"])   # matching layout ok
+    assert io.read("parted").count() == 2
