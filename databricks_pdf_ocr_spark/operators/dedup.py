@@ -254,9 +254,40 @@ def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
     ])
 
 
+def verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3,
+                 threshold: float = 0.3) -> DataFrame:
+    """Exact n-gram-Jaccard verification of candidate pairs.
+
+    LSH candidates are probabilistic: a band hash that draws a small value
+    for one moderately-common shingle makes every doc containing it
+    pairwise-collide (measured: ~10 spurious jaccard<0.02 candidates per
+    500 fixture docs in BOTH hash families).  Dropping docs on raw
+    candidates would therefore delete non-duplicates.  Verification is the
+    standard second rung of the ladder and stays linear: cost is two
+    equi-joins of the (small) candidate set against per-doc shingle
+    arrays + one JVM ``array_intersect`` per candidate — never all-pairs.
+
+    Emits (``pairs``' columns, jaccard) for pairs with jaccard ≥ threshold.
+    """
+    sh = df.select(F.col(id_col).alias("__vid"),
+                   F.array_distinct(shingles_col(text_col, n)).alias("__sh"))
+    j = (pairs
+         .join(sh.select(F.col("__vid").alias("doc_a"),
+                         F.col("__sh").alias("__sha")), "doc_a")
+         .join(sh.select(F.col("__vid").alias("doc_b"),
+                         F.col("__sh").alias("__shb")), "doc_b"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size("__sha") + F.size("__shb") - inter
+    return (j.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select(*pairs.columns, "jaccard"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, k: int = 8,
-                      bands: int = 4, hash_mode: str = "sha2") -> DataFrame:
+                      bands: int = 4, hash_mode: str = "sha2",
+                      verify_threshold: float | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     k signatures split into ``bands`` bands of r = k/bands rows; docs
@@ -270,6 +301,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     :func:`minhash_signatures_df`); band digests are then xxhash64 longs
     instead of sha2 hex.  Pair sets differ only where the two hash
     families estimate borderline Jaccard differently.
+
+    ``verify_threshold``: when set, candidates are second-rung verified
+    with exact n-gram Jaccard (:func:`verify_pairs`) — the configuration
+    any pipeline that DROPS documents must run (raw candidates include
+    spurious near-zero-Jaccard collisions in every hash family).
     """
     r = k // bands
     assert bands * r == k, "k must divide into equal bands"
@@ -289,13 +325,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = sig.select("id", F.posexplode(F.array(*band_cols))
                         .alias("band_idx", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+    if verify_threshold is None:
+        return cand
+    return verify_pairs(df, cand, id_col, text_col, n,
+                        threshold=verify_threshold).drop("jaccard")
 
 
 # ---------------------------------------------------------------------------

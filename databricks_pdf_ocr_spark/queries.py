@@ -459,7 +459,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                      n=3, threshold=0.12)
 
 
-def _minhash_sql(k: int = 8, bands: int = 4) -> str:
+def _minhash_sql(k: int = 8, bands: int = 4, src: str = "documents") -> str:
     r = k // bands
     mh = ", ".join(
         f"list_min(list_transform(sh, x -> sha256('{s}:' || x))) AS mh{s}"
@@ -470,7 +470,7 @@ def _minhash_sql(k: int = 8, bands: int = 4) -> str:
     band_list = ", ".join(f"band{b}" for b in range(bands))
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM {src}
 ), shing AS (
   SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                                 i -> array_to_string(t[i:i+2], ' ')) AS sh
@@ -487,6 +487,37 @@ FROM bexp a JOIN bexp b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id
 """
+
+
+def _verified_pairs_sql(src: str = "documents", thr: float = 0.3) -> str:
+    """MinHash-LSH candidates second-rung-verified by exact 3-gram Jaccard
+    (the twin of ``dedup.minhash_lsh_pairs(verify_threshold=...)``)."""
+    return f"""
+WITH cand AS (SELECT * FROM ({_minhash_sql(src=src)}) t),
+vtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {src}),
+vsh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM vtoks),
+vsizes AS (SELECT doc_id, count(*) AS n FROM vsh GROUP BY doc_id),
+vov AS (SELECT c.doc_a, c.doc_b, count(*) AS nc
+        FROM cand c JOIN vsh a ON a.doc_id = c.doc_a
+                    JOIN vsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b)
+SELECT v.doc_a, v.doc_b FROM vov v
+JOIN vsizes sa ON sa.doc_id = v.doc_a
+JOIN vsizes sb ON sb.doc_id = v.doc_b
+WHERE v.nc / (sa.n + sb.n - v.nc) >= {thr}
+"""
+
+
+@register("dedup_minhash_verified", _verified_pairs_sql())
+def dedup_minhash_verified(spark, sf_dir):
+    """The drop-safe near-dup configuration: LSH candidates verified by
+    exact n-gram Jaccard before any doc would be dropped (spurious
+    near-zero-similarity band collisions exist in every hash family)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   n=3, k=8, bands=4, verify_threshold=0.3)
 
 
 @register("dedup_minhash_lsh", _minhash_sql())
@@ -810,6 +841,108 @@ def extract_e2e(spark, sf_dir):
                     F.col("s.kind").alias("kind"),
                     F.col("s.text").alias("text"),
                     F.col("s.media_ref").alias("media_ref")))
+
+
+_CURATE_QTHR = 450_000          # quality gate (micro-units), ~75th pct pass
+_CURATE_SAMPLE = {"en": 60}     # keep-%, non-listed langs take the default
+_CURATE_DEFAULT = 40
+
+
+@register("curate_e2e", f"""
+WITH lang AS (SELECT * FROM ({_lang_sql()}) t),
+qual AS (
+  SELECT doc_id, ws_tokens, bpe_tokens, quality_score_e6 FROM (
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '{text_analysis.BPE_RE}'))
+                  AS BIGINT) AS bpe_tokens
+      FROM documents)
+    SELECT doc_id, ws_tokens, bpe_tokens,
+           CAST(floor((least(n_tokens / 200.0, 1.0) * 0.4
+             + least((len(list_filter(t, x -> x IN
+                 ('the','a','and','of','to','is','in','it','that','for')))
+                 / n_tokens) * 5, 1.0) * 0.3
+             + (1.0 - least((punct / n_chars) * 20, 1.0)) * 0.3) * 1e6 + 0.5)
+            AS BIGINT) AS quality_score_e6
+    FROM base) t),
+gated AS (
+  SELECT d.doc_id, d.text, l.predicted_lang, q.quality_score_e6,
+         q.ws_tokens, q.bpe_tokens
+  FROM documents d
+  JOIN lang l USING (doc_id) JOIN qual q ON q.doc_id = d.doc_id
+  WHERE q.quality_score_e6 >= {_CURATE_QTHR}),
+canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
+exact_kept AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
+pairs AS (SELECT * FROM ({_verified_pairs_sql(src="exact_kept")}) t),
+kept AS (
+  SELECT * FROM exact_kept
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+SELECT doc_id, predicted_lang, quality_score_e6, ws_tokens, bpe_tokens
+FROM kept
+WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < CASE predicted_lang WHEN 'en' THEN {_CURATE_SAMPLE["en"]}
+                                  ELSE {_CURATE_DEFAULT} END
+""")
+def curate_e2e(spark, sf_dir):
+    """The composed curation pipeline (jobs/curate.py) as one oracled query:
+    fused feature pass → quality gate → exact dedup (canonical copy) →
+    MinHash-LSH near-dup candidates + exact-Jaccard verification →
+    deterministic hash-stratified sample.  Every stage is the operator the
+    job runs; the whole ladder is hash-verified end-to-end against DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = text_analysis.with_features(docs)
+    gated = feats.filter(F.col("quality_score_e6") >= _CURATE_QTHR)
+    canon = (dedup.exact_duplicates(gated)
+             .select(F.col("canonical_id").alias("doc_id")))
+    exact_kept = gated.join(canon, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(exact_kept, n=3, k=8, bands=4,
+                                    verify_threshold=0.3)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = exact_kept.join(losers, "doc_id", "left_anti")
+    sampled = text_analysis.hash_sample(
+        kept, _CURATE_SAMPLE, strata_col="predicted_lang",
+        default_pct=_CURATE_DEFAULT)
+    return sampled.select("doc_id", "predicted_lang", "quality_score_e6",
+                          "ws_tokens", "bpe_tokens")
+
+
+# Production-hash-mode gate (ADVICE round 2): the bench runs the xxhash64
+# Arrow-kernel path while the DuckDB oracle verifies the sha2 path; this
+# query makes the PRODUCTION path part of the driver's correctness gate by
+# requiring its VERIFIED near-dup pair set (candidates + exact-Jaccard
+# second rung — the drop-safe configuration) to substantially agree with
+# the hash-verified sha2 set.  Verification removes each family's spurious
+# band collisions; residual disagreement is bounded by per-family LSH
+# recall on borderline-Jaccard pairs, hence a threshold rather than
+# equality.
+_MODES_AGREE_THR = 0.8
+
+
+@register("dedup_modes_agree", f"""
+SELECT CAST(count(*) AS BIGINT) AS n_sha2_pairs,
+       CAST(1 AS BOOLEAN) AS modes_agree
+FROM ({_verified_pairs_sql()}) t
+""")
+def dedup_modes_agree(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sha = dedup.minhash_lsh_pairs(docs, n=3, k=8, bands=4,
+                                  verify_threshold=0.3) \
+        .select("doc_a", "doc_b")
+    xx = dedup.minhash_lsh_pairs(docs, n=3, k=8, bands=4,
+                                 hash_mode="xxhash64", verify_threshold=0.3) \
+        .select("doc_a", "doc_b")
+    inter = sha.intersect(xx)
+    union = sha.union(xx).distinct()
+    return (sha.agg(F.count(F.lit(1)).cast("long").alias("n_sha2_pairs"))
+            .crossJoin(inter.agg(F.count(F.lit(1)).alias("__n_inter")))
+            .crossJoin(union.agg(F.count(F.lit(1)).alias("__n_union")))
+            .select("n_sha2_pairs",
+                    ((F.col("__n_inter") / F.col("__n_union"))
+                     >= _MODES_AGREE_THR).alias("modes_agree")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

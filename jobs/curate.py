@@ -94,8 +94,12 @@ def run_curate(spark, args) -> dict:
         canon.withColumnRenamed("canonical_id", "doc_id"), "doc_id",
         "left_semi")
 
-    # -- near-dup dedup (LSH candidates, keep the smaller id) ----------------
-    pairs = dedup.minhash_lsh_pairs(exact_kept, hash_mode=args.hash_mode)
+    # -- near-dup dedup: LSH candidates VERIFIED by exact n-gram Jaccard
+    # before any doc is dropped (raw candidates contain spurious
+    # near-zero-similarity collisions in every hash family — dropping on
+    # them deletes non-duplicates), keep the smaller id ----------------------
+    pairs = dedup.minhash_lsh_pairs(exact_kept, hash_mode=args.hash_mode,
+                                    verify_threshold=args.neardup_jaccard)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
@@ -137,6 +141,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--hash-mode", default="xxhash64",
                     choices=["xxhash64", "sha2"],
                     help="near-dup hash family (xxhash64 = production)")
+    ap.add_argument("--neardup-jaccard", type=float, default=0.3,
+                    help="exact-Jaccard verification threshold for LSH "
+                         "candidate pairs (docs are only dropped on "
+                         "verified pairs)")
     return ap
 
 
