@@ -58,10 +58,16 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.size("spans").cast("int").alias("total_spans"),
+        # flag the min-offset span BEFORE the explode scatters a doc's
+        # spans across partitions: downstream lineage counts documents
+        # with sum(is_first) — no count-distinct Expand over all rows
+        F.array_min(F.transform("spans", lambda s: s["offset"]))
+        .alias("min_offset"),
         F.explode("spans").alias("span"),
     ).select(
         "doc_id",
         "total_spans",
+        (F.col("span.offset") == F.col("min_offset")).alias("is_first"),
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
@@ -85,16 +91,18 @@ def _make_extract_batch(cfg: ExtractConfig):
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
                 "result_id", "doc_id", "offset", "sub_idx", "total_spans",
-                "kind", "text", "media_ref", "status", "error_message",
-                "ocr_fallback", "pages_parsed", "duration_ms", "ocr_model")}
+                "is_first_span", "kind", "text", "media_ref", "status",
+                "error_message", "ocr_fallback", "pages_parsed",
+                "duration_ms", "ocr_model")}
 
-            def emit(rid, did, off, sub, tot, kind, text, mref, status, err,
-                     fb, pages, dur):
+            def emit(rid, did, off, sub, tot, first, kind, text, mref,
+                     status, err, fb, pages, dur):
                 out["result_id"].append(rid)
                 out["doc_id"].append(did)
                 out["offset"].append(off)
                 out["sub_idx"].append(sub)
                 out["total_spans"].append(tot)
+                out["is_first_span"].append(first)
                 out["kind"].append(kind)
                 out["text"].append(text)
                 out["media_ref"].append(mref)
@@ -105,9 +113,10 @@ def _make_extract_batch(cfg: ExtractConfig):
                 out["duration_ms"].append(dur)
                 out["ocr_model"].append(model)
 
-            for did, tot, kind, text, mref, off in zip(
-                    pdf["doc_id"], pdf["total_spans"], pdf["kind"],
-                    pdf["text"], pdf["media_ref"], pdf["offset"]):
+            for did, tot, first, kind, text, mref, off in zip(
+                    pdf["doc_id"], pdf["total_spans"], pdf["is_first"],
+                    pdf["kind"], pdf["text"], pdf["media_ref"],
+                    pdf["offset"]):
                 t0 = time.perf_counter()
                 text_in = None if text is None or (isinstance(text, float)) else text
                 mref_in = None if mref is None or (isinstance(mref, float)) else mref
@@ -116,7 +125,7 @@ def _make_extract_batch(cfg: ExtractConfig):
                     max_payload_bytes=max_bytes, max_pages=max_pages,
                     max_retries=max_retries, retry_backoff_s=backoff)
                 dur = int((time.perf_counter() - t0) * 1000)
-                off = int(off); tot = int(tot)
+                off = int(off); tot = int(tot); first = bool(first)
                 if status == "success" and outputs:
                     n_fb_tagged = 0
                     for sub, (k, t, m) in enumerate(outputs):
@@ -126,7 +135,8 @@ def _make_extract_batch(cfg: ExtractConfig):
                                  and t.startswith("[ocr] ") and n_fb_tagged < fallbacks)
                         if is_fb:
                             n_fb_tagged += 1
-                        emit(rid, did, off, sub, tot, k, t, m, "success", None,
+                        emit(rid, did, off, sub, tot, first and sub == 0,
+                             k, t, m, "success", None,
                              bool(is_fb), pages if sub == 0 else 0,
                              dur if sub == 0 else 0)
                 else:
@@ -134,7 +144,7 @@ def _make_extract_batch(cfg: ExtractConfig):
                     # exactly one bookkeeping row (error contract —
                     # reference processors/ocr.py:132-148)
                     rid = hashlib.sha256(f"{did}:{off}:0".encode()).hexdigest()
-                    emit(rid, did, off, 0, tot, kind, None, mref_in,
+                    emit(rid, did, off, 0, tot, first, kind, None, mref_in,
                          status if status == "failed" else "empty",
                          err, False, pages, dur)
             yield pd.DataFrame(out)

@@ -119,15 +119,26 @@ class CheckpointManager:
                           input_fingerprint: str, duration_ms: int,
                           run_seq: int | None = None) -> None:
         """Aggregate per-bucket metrics from a results DataFrame and append
-        one 'done' lineage row per bucket (map-side partial agg → tiny
-        shuffle → tiny write)."""
+        one 'done' lineage row per bucket.
+
+        The aggregate runs distributed (map-side partial agg → tiny
+        shuffle); the ≤ n_buckets result rows are CONTROL-PLANE data, so
+        they're collected and appended driver-side (``io.append_rows``) —
+        a Spark parquet write job costs ~1-2 s of fixed committer overhead
+        even for 64 rows, pure tax on the job's critical path."""
         if run_seq is None:
             run_seq = self.next_run_seq()
+        if "bucket" not in results.columns:
+            results = results.withColumn("bucket",
+                                         bucket_col(self.cfg.n_buckets))
         metrics = (
-            results.withColumn("bucket", bucket_col(self.cfg.n_buckets))
+            results
             .groupBy("bucket")
             .agg(
-                F.countDistinct("doc_id").alias("docs_done"),
+                # exactly one is_first_span row per document (min-offset
+                # span, sub_idx 0) — an exact doc count as a plain SUM,
+                # no count-distinct Expand pass over every results row
+                F.sum(F.col("is_first_span").cast("long")).alias("docs_done"),
                 # every input span emits exactly ONE sub_idx==0 row (success
                 # fan-out starts at 0; failed/empty emit a single 0 row), so
                 # this counts input spans without a second count-distinct
@@ -138,21 +149,23 @@ class CheckpointManager:
                 F.sum((F.col("status") == "success").cast("long")).alias("span_count"),
                 F.sum((F.col("status") == "failed").cast("long")).alias("failed_spans"),
             )
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.lit(run_seq).cast("long").alias("run_seq"),
-                F.lit(input_fingerprint).alias("input_fingerprint"),
-                F.col("bucket"),
-                F.lit("done").alias("status"),
-                F.col("docs_done").cast("long"),
-                F.col("spans_in").cast("long"),
-                F.coalesce(F.col("pages_parsed"), F.lit(0)).alias("pages_parsed"),
-                F.coalesce(F.col("ocr_fallbacks"), F.lit(0)).alias("ocr_fallbacks"),
-                F.coalesce(F.col("span_count"), F.lit(0)).alias("span_count"),
-                F.coalesce(F.col("failed_spans"), F.lit(0)).alias("failed_spans"),
-                F.lit(duration_ms).cast("long").alias("duration_ms"),
-                F.lit(self.cfg.to_json()).alias("config_json"),
-                F.current_timestamp().alias("updated_at"),
-            )
         )
-        self.io.append(metrics, CHECKPOINT_TABLE)
+        from datetime import datetime, timezone
+        now = datetime.now(timezone.utc)
+        rows = [{
+            "run_id": run_id,
+            "run_seq": int(run_seq),
+            "input_fingerprint": input_fingerprint,
+            "bucket": int(r["bucket"]),
+            "status": "done",
+            "docs_done": int(r["docs_done"] or 0),
+            "spans_in": int(r["spans_in"] or 0),
+            "pages_parsed": int(r["pages_parsed"] or 0),
+            "ocr_fallbacks": int(r["ocr_fallbacks"] or 0),
+            "span_count": int(r["span_count"] or 0),
+            "failed_spans": int(r["failed_spans"] or 0),
+            "duration_ms": int(duration_ms),
+            "config_json": self.cfg.to_json(),
+            "updated_at": now,
+        } for r in metrics.collect()]   # ≤ n_buckets control-plane rows
+        self.io.append_rows(rows, CHECKPOINT_TABLE, CHECKPOINT_SCHEMA)

@@ -3,8 +3,16 @@
 SURVEY.md §4.2.5: the reference accumulates stats in its driver loop
 (``processors/ocr.py:167-199``); Spark-first, global metrics ride the
 existing action via ``DataFrame.observe`` — zero extra passes, zero
-collects.  Per-bucket lineage still comes from the checkpoint table
-(observe is global-only); this covers the run-summary numbers.
+collects.
+
+Per-bucket lineage metrics stay a grouped aggregate over the written
+results (checkpoint.mark_from_results): emulating the group-by inside
+``observe`` via n_buckets × 6 ``sum(when(bucket = k, …))`` expressions was
+measured and REJECTED — building/analyzing the 384 expression trees costs
+4-20 s of driver time per run (py4j + Catalyst analysis), an order more
+than the read-back it would replace.  The cheap wins live elsewhere:
+explicit reader schemas, sum(is_first_span) doc counts, and control-plane
+lineage rows written driver-side (TableIO.append_rows).
 """
 
 from __future__ import annotations

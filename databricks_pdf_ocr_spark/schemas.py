@@ -61,6 +61,10 @@ RESULTS_SCHEMA = T.StructType([
     T.StructField("offset", T.IntegerType(), False),        # input-span offset
     T.StructField("sub_idx", T.IntegerType(), False),       # fan-out index within span
     T.StructField("total_spans", T.IntegerType(), False),   # ref: total_pages
+    # exactly one true row per document (min-offset span, sub_idx 0) —
+    # lets lineage count docs with a plain SUM instead of a
+    # count-distinct Expand pass over every results row
+    T.StructField("is_first_span", T.BooleanType(), False),
     T.StructField("kind", T.StringType(), False),           # output kind ('text'|'media')
     T.StructField("text", T.StringType(), True),
     T.StructField("media_ref", T.StringType(), True),
@@ -75,6 +79,7 @@ RESULTS_SCHEMA = T.StructType([
 # Schema string for mapInPandas (must match RESULTS_SCHEMA field order).
 RESULTS_DDL = (
     "result_id string, doc_id string, offset int, sub_idx int, total_spans int, "
+    "is_first_span boolean, "
     "kind string, text string, media_ref string, status string, error_message string, "
     "ocr_fallback boolean, pages_parsed int, duration_ms long, ocr_model string"
 )

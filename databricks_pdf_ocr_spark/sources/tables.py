@@ -53,10 +53,17 @@ class TableIO:
         return any(f.endswith(".parquet") or f.startswith("bucket=")
                    or "=" in f for f in os.listdir(p)) or bool(os.listdir(p))
 
-    def read(self, name: str) -> DataFrame | None:
+    def read(self, name: str, schema=None) -> DataFrame | None:
+        """``schema``: optional explicit (possibly partial) schema — skips
+        the footer-sampling inference job, a fixed per-read driver cost
+        that callers on the hot path (lineage mark) supply away.  Partition
+        columns must be included when given."""
         if not self.exists(name):
             return None
-        return self.spark.read.parquet(self.path(name))
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(self.path(name))
 
     def _check_layout(self, name: str, partition_by: list[str] | None) -> None:
         """Refuse to append a mismatched layout into an existing table.
@@ -93,6 +100,44 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
+
+    def append_rows(self, rows: list[dict], name: str, schema) -> None:
+        """Append CONTROL-PLANE rows (≤ a few hundred — lineage marks,
+        run summaries) without a Spark write job.
+
+        A Spark parquet append costs ~1-2 s of fixed job/committer
+        overhead even for one row; for driver-sized metadata that's pure
+        tax, so the parquet backend writes a single file with pyarrow and
+        an atomic rename.  Readers (``spark.read.parquet``) see one more
+        part file — indistinguishable from a Spark-written append.
+        """
+        if not rows:
+            return
+        self._check_layout(name, None)
+        import uuid
+        from datetime import datetime, timezone  # noqa: F401 (doc aid)
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        def pa_type(dt):
+            return {T.StringType: pa.string(), T.IntegerType: pa.int32(),
+                    T.LongType: pa.int64(), T.BooleanType: pa.bool_(),
+                    T.DoubleType: pa.float64(),
+                    T.TimestampType: pa.timestamp("us", tz="UTC"),
+                    }[type(dt)]
+
+        pa_schema = pa.schema([(f.name, pa_type(f.dataType))
+                               for f in schema.fields])
+        cols = {f.name: [r[f.name] for r in rows] for f in schema.fields}
+        table = pa.Table.from_pydict(cols, schema=pa_schema)
+        p = self.path(name)
+        os.makedirs(p, exist_ok=True)
+        fname = f"part-drv-{uuid.uuid4().hex}.snappy.parquet"
+        tmp = os.path.join(p, "." + fname + ".tmp")
+        pq.write_table(table, tmp, compression="snappy")
+        os.rename(tmp, os.path.join(p, fname))   # atomic on one filesystem
 
     def overwrite(self, df: DataFrame, name: str,
                   partition_by: list[str] | None = None) -> None:
@@ -139,10 +184,10 @@ class IcebergTableIO(TableIO):
     def exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(self.path(name))
 
-    def read(self, name: str) -> DataFrame | None:
+    def read(self, name: str, schema=None) -> DataFrame | None:
         if not self.exists(name):
             return None
-        return self.spark.table(self.path(name))
+        return self.spark.table(self.path(name))  # catalog owns the schema
 
     def append(self, df: DataFrame, name: str,
                partition_by: list[str] | None = None) -> None:
@@ -154,6 +199,14 @@ class IcebergTableIO(TableIO):
             w.create()
         else:
             df.writeTo(self.path(name)).append()
+
+    def append_rows(self, rows: list[dict], name: str, schema) -> None:
+        # Iceberg commits go through the catalog — no direct-file shortcut
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            [tuple(r[f.name] for f in schema.fields) for r in rows], schema)
+        self.append(df, name)
 
     def overwrite(self, df: DataFrame, name: str,
                   partition_by: list[str] | None = None) -> None:

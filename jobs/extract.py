@@ -61,7 +61,10 @@ def load_input(spark, spec: str, cfg: ExtractConfig):
         df = fixtures.fixture_df(spark, seed, n_docs, fixtures.BENCH)
         fingerprint = f"fixture:{seed}:{n_docs}"
         return df, fingerprint
-    df = spark.read.parquet(spec)
+    # explicit schema (the declared input contract): no footer-sampling
+    # inference job on the driver before the pipeline even starts
+    from databricks_pdf_ocr_spark.schemas import DOCUMENTS_SCHEMA
+    df = spark.read.schema(DOCUMENTS_SCHEMA).parquet(spec)
     return df, f"path:{spec}"
 
 
@@ -190,20 +193,25 @@ def run_job(spark, args) -> tuple[dict, int]:
         # static isin over the partition column guarantees pruning.
         pend_list = sorted(
             r["bucket"] for r in pending.select("bucket").distinct().collect())
+    elapsed_ms = int((time.time() - t0) * 1000)
+    # exactly the columns the lineage aggregate consumes — doc counting
+    # is sum(is_first_span), so neither doc_id nor result_id is read
+    MARK_COLS = ("is_first_span", "sub_idx", "status", "pages_parsed",
+                 "ocr_fallback", "bucket")
     if cfg.cache_results:
         # everything this run wrote is exactly the cached DataFrame
-        this_run = results.select(
-            "result_id", "doc_id", "offset", "sub_idx", "status",
-            "pages_parsed", "ocr_fallback", "bucket")
+        this_run = results.select(*MARK_COLS)
     else:
-        this_run = (io.read(RESULTS_TABLE)
+        # partial explicit schema: column-prunes the scan at the READER
+        # level and skips the footer-sampling schema-inference job
+        mark_schema = ("run_id string, is_first_span boolean, "
+                       "sub_idx int, status string, pages_parsed int, "
+                       "ocr_fallback boolean, bucket int")
+        this_run = (io.read(RESULTS_TABLE, schema=mark_schema)
                     .filter(F.col("bucket").isin(pend_list)
                             if pend_list else F.lit(False))
                     .filter(F.col("run_id") == run_id)
-                    .select("result_id", "doc_id", "offset", "sub_idx",
-                            "status", "pages_parsed", "ocr_fallback",
-                            "bucket"))
-    elapsed_ms = int((time.time() - t0) * 1000)
+                    .select(*MARK_COLS))
     cp.mark_from_results(this_run, run_id, fingerprint, elapsed_ms,
                          run_seq=run_seq)
     if cfg.cache_results:

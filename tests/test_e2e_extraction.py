@@ -91,6 +91,9 @@ def test_rerun_idempotency_via_dedup(spark, input_rows, golden):
 def test_explode_spans_shape(spark, input_rows):
     df = spark.createDataFrame(input_rows, schema=DOCUMENTS_SCHEMA)
     spans = explode_spans(df)
-    assert spans.columns == ["doc_id", "total_spans", "kind", "text",
-                             "media_ref", "offset"]
+    assert spans.columns == ["doc_id", "total_spans", "is_first", "kind",
+                             "text", "media_ref", "offset"]
     assert spans.count() == sum(len(s) for _, s in input_rows)
+    # exactly one first-span marker per document
+    assert (spans.filter("is_first").count()
+            == spans.select("doc_id").distinct().count())

@@ -152,3 +152,31 @@ def test_results_table_partition_pruning(spark, tmp_path, rows):
     n_before = res.count()
     _run(spark, inp, tables)
     assert spark.read.parquet(f"{tables}/{RESULTS_TABLE}").count() == n_before
+
+
+def test_observed_mark_equals_readback_mark(spark, tmp_path, rows):
+    """The two lineage-mark data sources (pruned read-back of the written
+    table vs the cached in-memory results) must record byte-identical
+    metrics, and the driver-side control-plane append (pyarrow file, no
+    Spark write job) must produce Spark-readable rows/types."""
+    import pyspark.sql.functions as F
+
+    inp = _write_input(spark, tmp_path, rows, "obs_in")
+    fast_t = str(tmp_path / "fast_tables")
+    slow_t = str(tmp_path / "slow_tables")
+    _run(spark, inp, fast_t)                       # n_buckets 8 → fast path
+    _run(spark, inp, slow_t, "--cache-results")    # forces the agg path
+
+    cols = ["bucket", "docs_done", "spans_in", "pages_parsed",
+            "ocr_fallbacks", "span_count", "failed_spans", "status"]
+
+    def marks(t):
+        df = spark.read.parquet(f"{t}/extraction_checkpoint")
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    fast, slow = marks(fast_t), marks(slow_t)
+    assert fast == slow and len(fast) > 0
+    # run_seq survives the driver-side parquet write with the right type
+    df = spark.read.parquet(f"{fast_t}/extraction_checkpoint")
+    assert df.schema["run_seq"].dataType.simpleString() == "bigint"
+    assert df.filter(F.col("updated_at").isNull()).count() == 0
