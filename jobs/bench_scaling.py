@@ -49,7 +49,8 @@ def materialize_input(n_docs: int, seed: int = 42) -> str:
     return path
 
 
-def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
+def run_at(cores: int, input_path: str, zpath: str, tag: str,
+           salt: bool = False) -> dict:
     # tmpfs: a single shared disk cannot emulate per-node write bandwidth;
     # memory-backed tables keep trailing writeback noise out of the timings
     tables = f"/dev/shm/spark_graft_scale_tables_{tag}_{cores}"
@@ -72,7 +73,8 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str) -> dict:
          str(REPO / "jobs" / "extract.py"),
          "--input", input_path, "--tables", tables,
          "--n-buckets", "64", "--partitions", str(cores),
-         "--mode", "reprocess_all", "--skip-assemble"],
+         "--mode", "reprocess_all", "--skip-assemble",
+         *(["--salt"] if salt else [])],
         # (--cache-results measured WORSE here: persisting ~GBs of results
         # at 32c inflated the mark phase 3.7s -> 6.5s via GC pressure; the
         # pruned column-projected read-back is the better mark path)
@@ -142,6 +144,12 @@ def main() -> int:
     ap.add_argument("--max-probes", type=int, default=20,
                     help="give up after this many below-ceiling probes")
     ap.add_argument("--tag", default="r")
+    ap.add_argument("--salt", action="store_true",
+                    help="run the extraction job with the salted span "
+                         "repartition (skew A/B — BENCH/BASELINE.md)")
+    ap.add_argument("--no-record", action="store_true",
+                    help="print the report but do not update "
+                         "BENCH/best.json or BASELINE.md (comparison runs)")
     args = ap.parse_args()
 
     zpath = build_zip()
@@ -167,9 +175,11 @@ def main() -> int:
             continue
         ceilings.append(c)
         print(f"hw ceiling before trial {t}: {c}", file=sys.stderr)
-        runs_lo.append(run_at(args.n, input_path, zpath, f"{args.tag}{t}"))
+        runs_lo.append(run_at(args.n, input_path, zpath, f"{args.tag}{t}",
+                              salt=args.salt))
         time.sleep(5)  # settle: let the previous JVM/page-cache drain
-        runs_hi.append(run_at(args.xn, input_path, zpath, f"{args.tag}{t}"))
+        runs_hi.append(run_at(args.xn, input_path, zpath, f"{args.tag}{t}",
+                              salt=args.salt))
         time.sleep(5)
         t += 1
 
@@ -203,7 +213,11 @@ def main() -> int:
         "target": 0.8,
         "pass": eff >= 0.8,
     }
+    if args.salt:
+        report["salt_spans"] = True
     print(json.dumps(report))
+    if args.no_record:
+        return 0 if report["pass"] else 1
 
     # keep the best evidence across invocations: the shared host's capacity
     # drifts, so the round's record is the best measured window
@@ -238,17 +252,19 @@ payload shuffle) → results write → per-bucket lineage mark.
 **Scaling efficiency = (thr_4N / thr_N) / {factor:.0f} =
 {report['scaling_efficiency']}** (target ≥ 0.8 → {"PASS" if report['pass'] else "FAIL"}).
 
-## Round-2 layout tradeoff (vs round 1's 0.88 window)
+## Fixed per-run cost (round-3 reduction + amortization)
 
-Round 2 spent 4N-side time buying required correctness/scale properties:
-the results write repartitions by bucket + `partitionBy(bucket)` (real
-partition pruning for lineage re-scan and incremental reassembly), and
-the lineage mark re-scans with a run_id filter (exact per-run metrics).
-That adds ~4-6 s of largely size-independent 4N-side cost (select + mark
-+ bucket shuffle) — a ~0.1 efficiency tax at a ~30 s 4N runtime that
-amortizes to noise at the north rule's real scale (10^12 docs,
-hour-plus runs).  Compare the extract+write phase timings the job prints
-(`phase_extract_write_sec`) for the stage-level scaling.
+The bucket-partitioned layout + exact run-stamped lineage (round-2
+correctness properties) carry a size-independent per-run cost.  Round 3
+halved it structurally — doc counts are `sum(is_first_span)` instead of a
+count-distinct Expand, reads supply explicit schemas (no footer-sampling
+inference jobs), and the ≤ n_buckets lineage rows are written driver-side
+(`TableIO.append_rows`) instead of paying a ~1.7 s Spark committer write —
+measured select+mark 5.8 s → ~3.4 s at 40 k docs / 32 cores.  The
+remainder is first-execution codegen + driver plan analysis; the
+protocol runs at {args.docs} docs so it amortizes (it is noise at the
+north rule's real 10^12-doc scale).  Compare `phase_extract_write_sec`
+(printed per run) for stage-level scaling.
 
 ## Host-capacity calibration + disclosure
 
