@@ -93,6 +93,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="TEST ONLY: process just the first k pending buckets "
                          "then exit nonzero (simulates a mid-run crash)")
     ap.add_argument("--skip-assemble", action="store_true")
+    ap.add_argument("--split-mb", type=int, default=8,
+                    help="input split target (spark.sql.files.maxPartitionBytes, "
+                         "MB).  Extraction costs seconds of CPU per input MB, "
+                         "so Spark's 128MB scan default yields ~1 task wave "
+                         "per executor: the stage wall becomes the single "
+                         "slowest split and stragglers idle the rest.  Fine "
+                         "splits (many waves) load-balance the compute-bound "
+                         "stage; 0 keeps Spark's default")
     ap.add_argument("--salt", action="store_true",
                     help="span-level salted repartition before extraction "
                          "(for inputs where single docs rival a whole split)")
@@ -157,14 +165,19 @@ def run_job(spark, args) -> tuple[dict, int]:
                .withColumn("input_fingerprint", F.lit(fingerprint))
                .withColumn("processed_at", F.current_timestamp()))
 
-    # WRITE results, partitioned by bucket.  repartition("bucket") first so
-    # each touched bucket lands as ONE file per run (the write has at most
-    # one task per bucket) — no tasks×buckets small-file explosion, and the
+    # WRITE results, partitioned by bucket.  repartition(n_buckets, "bucket")
+    # first so each touched bucket lands as ONE file per run (exactly one
+    # task per bucket) — no tasks×buckets small-file explosion, and the
     # lineage re-scan + incremental reassembly below prune to exactly the
     # touched bucket directories instead of reading the whole corpus.
+    # Pinning numPartitions to n_buckets (not spark.sql.shuffle.partitions)
+    # keeps the write at full parallelism: the default would pack ~2 buckets
+    # per task and AQE would coalesce further, idling cores during the
+    # parquet-encode-heavy write stage.
     # Global metrics observed during the same action — no extra pass.
     from databricks_pdf_ocr_spark.plans.metrics import observed_results
-    results, observation = observed_results(results.repartition("bucket"))
+    results, observation = observed_results(
+        results.repartition(cfg.n_buckets, "bucket"))
     if cfg.cache_results:
         # the write populates the cache; the mark aggregate below then
         # reads cached partitions instead of re-scanning the table
@@ -291,6 +304,19 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="extract-job",
                       shuffle_partitions=args.partitions)
+
+    if args.split_mb:
+        # compute-bound-scan granularity (see --split-mb help).  Session-level
+        # runtime confs: set here in main() so in-process test sessions are
+        # not mutated.  openCost drops with the split size — the default 4MB
+        # per-file cost would dominate the bins for small input files and
+        # re-coarsen the split count.
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       f"{args.split_mb}m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+        # keep AQE from coalescing the bucket-write shuffle below core
+        # count — the partitioned write is parquet-encode CPU, not I/O
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
 
     # steady-state warmup: spawn + import-load the Python workers and JIT the
     # JVM before the clock starts (identical at every cluster size, so the
