@@ -292,7 +292,11 @@ directory-pruned lineage re-scan and incremental reassembly); lineage
 aggregates a column-pruned, run_id-filtered projection.  Skew: heavy
 multi-hundred-span docs are balanced by fine input splits; the optional
 salted span repartition (`salt_spans`) covers pathological
-single-doc skew.
+single-doc skew.  Salt A/B at 4N (interleaved ×2, 40 k BENCH_HEAVY,
+min-of-2): salt OFF 31.3 s vs salt ON 31.8 s extract+write — identical
+within noise, i.e. the fine-split scan already load-balances this
+profile's skew; keep salt OFF as the default and reserve `--salt` for
+inputs where single docs rival a whole split.
 
 Raw: `{json.dumps(report)}`
 
