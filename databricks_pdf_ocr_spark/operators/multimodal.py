@@ -5,12 +5,15 @@ pipeline as opaque ``binary`` columns (or ``media_ref`` pointers) with
 typed metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-This container has no imaging/audio libraries, so the codec boundary is
-explicitly stubbed (``_decode_image_real`` raises ``NotImplementedError``)
-and a clearly-marked deterministic fake — keyed on the payload bytes, so
-tests and goldens are stable — stands in.  Everything Spark-side is real
-and tested: schemas, Arrow batch shapes, partition behavior, metadata
-structs.
+This container has no imaging/audio libraries, so the engine carries its
+own pure-stdlib+numpy codecs for the formats that matter on the document
+hot path: PNG (``functions/pngmini.py``) and baseline JPEG
+(``functions/jpegmini.py``, validated against the JVM ImageIO ground
+truth of ``spark.read.format("image")``).  The remaining codecs
+(WebP/video/progressive-JPEG) stay behind a loudly-stubbed boundary with
+a clearly-marked deterministic fake — keyed on the payload bytes, so
+tests and goldens are stable.  Everything Spark-side is real and tested:
+schemas, Arrow batch shapes, partition behavior, metadata structs.
 
 Reference analogue: the image path in ``clients/claude.py:22-49``
 (PIL resize → base64 → request payload) — here generalized into reusable
@@ -43,16 +46,21 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     """The real codec slot.  PNG is fully implemented in pure stdlib
-    (``functions/pngmini.py`` — zlib inflate + per-row unfilter), so PNG
-    payloads decode for real; the remaining codecs (JPEG/WebP/video) need
-    imaging libraries this container doesn't have — deliberately loud so
-    nobody mistakes the fake for them."""
-    from ..functions import pngmini
+    (``functions/pngmini.py`` — zlib inflate + per-row unfilter) and
+    baseline JPEG in stdlib+numpy (``functions/jpegmini.py`` — huffman +
+    batched IDCT, ImageIO-validated), so both decode for real; the
+    remaining codecs (WebP/video, progressive JPEG) need imaging
+    libraries this container doesn't have — deliberately loud so nobody
+    mistakes the fake for them."""
+    from ..functions import jpegmini, pngmini
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
         return "png", w, h
+    if payload[:2] == jpegmini.JPEG_SIG:
+        w, h, _channels, _pix = jpegmini.decode_jpeg(payload)
+        return "jpeg", w, h
     raise NotImplementedError(
-        "non-PNG codecs (JPEG/WebP/video) need imaging libraries not "
+        "non-PNG/JPEG codecs (WebP/video) need imaging libraries not "
         "installed in this container; the deterministic fake decoder is "
         "the hermetic test path for those")
 
@@ -99,13 +107,15 @@ def decode_media(df: DataFrame, content_col: str = "content",
                     out["decode_ok"].append(False)
                     out["error_message"].append("empty payload")
                     continue
-                if payload[:8] == b"\x89PNG\r\n\x1a\n":
-                    # real decode path (pure-stdlib PNG codec)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n" or \
+                        payload[:2] == b"\xff\xd8":
+                    # real decode path (pure-stdlib PNG / JPEG codecs)
                     try:
                         fmt, w, h = _decode_image_real(payload)
                         dur = 0
-                    except Exception as e:  # corrupt PNG → error row
-                        out["format"].append("png")
+                    except Exception as e:  # corrupt/unsupported → error row
+                        out["format"].append(
+                            "png" if payload[:1] == b"\x89" else "jpeg")
                         out["width"].append(0)
                         out["height"].append(0)
                         out["duration_ms"].append(0)
@@ -153,16 +163,18 @@ RESIZED_DDL = (
 
 def resize_media(df: DataFrame, content_col: str = "content",
                  max_edge: int = 1568) -> DataFrame:
-    """REAL pixel resample for PNG payloads: decode (pure-stdlib codec) →
-    box-downsample to ``max_edge`` (reference: PIL LANCZOS to 1568,
-    ``clients/claude.py:27-38``) → re-encode PNG.
+    """REAL pixel resample for PNG and baseline-JPEG payloads: decode
+    (pure-stdlib codecs) → box-downsample to ``max_edge`` (reference: PIL
+    LANCZOS to 1568, ``clients/claude.py:27-38``) → re-encode PNG (JPEG
+    inputs transcode, mirroring the reference's render→resize→PNG-encode
+    flow for the OCR request payload).
 
-    Narrow ``mapInPandas``; media bytes never shuffle.  Non-PNG payloads
+    Narrow ``mapInPandas``; media bytes never shuffle.  Other payloads
     (codecs unavailable in this container) come back ``resize_ok=false``
     with the reason — the pipeline-continues error contract.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import pngmini
+        from ..functions import jpegmini, pngmini
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "format", "width", "height",
@@ -183,12 +195,20 @@ def resize_media(df: DataFrame, content_col: str = "content",
             for payload in pdf[content_col]:  # column-zip, not iterrows()
                 payload = bytes(payload) if payload is not None else b""
                 mid = hashlib.sha256(payload).hexdigest()
-                if payload[:8] != pngmini.PNG_SIG:
+                if payload[:8] == pngmini.PNG_SIG:
+                    fmt = "png"
+                elif payload[:2] == jpegmini.JPEG_SIG:
+                    fmt = "jpeg"
+                else:
                     emit(mid, None, 0, 0, 0, 0, None, False,
-                         "unsupported codec (only PNG decodes hermetically)")
+                         "unsupported codec (PNG and baseline JPEG decode "
+                         "hermetically)")
                     continue
                 try:
-                    w, h, ch, pix = pngmini.decode_png(payload)
+                    if fmt == "png":
+                        w, h, ch, pix = pngmini.decode_png(payload)
+                    else:
+                        w, h, ch, pix = jpegmini.decode_jpeg(payload)
                     if max(w, h) > max_edge:
                         # same geometry as resize_plan (ceil(edge*scale))
                         import math
@@ -198,10 +218,10 @@ def resize_media(df: DataFrame, content_col: str = "content",
                         pix = pngmini.resize_box(pix, w, h, ch, tw, th)
                     else:
                         tw, th = w, h
-                    emit(mid, "png", w, h, tw, th,
+                    emit(mid, fmt, w, h, tw, th,
                          pngmini.encode_png(pix, tw, th, ch), True, None)
                 except Exception as e:
-                    emit(mid, "png", 0, 0, 0, 0, None, False, str(e))
+                    emit(mid, fmt, 0, 0, 0, 0, None, False, str(e))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=RESIZED_DDL)
