@@ -96,6 +96,42 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str,
     return stats
 
 
+def _mp_scaling(fn, n: int, xn: int) -> float:
+    import multiprocessing as mp
+
+    def run(k: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=fn, args=(q,)) for _ in range(k)]
+        t0 = time.time()
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        return k / (time.time() - t0)
+
+    lo, hi = run(n), run(xn)
+    return (hi / lo) / (xn / n)
+
+
+def _burn_cpu(q):
+    t0 = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    q.put(time.time() - t0)
+
+
+def _burn_mem(q):
+    # memory-bandwidth-bound: stream a 256 MB array (far past LLC) — the
+    # shared memory system, not the cores, is the scaling constraint here
+    import numpy as np
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)
+    t0 = time.time()
+    s = 0.0
+    for _ in range(4):
+        s += float(a.sum())
+        a *= 1.0000001
+    q.put(time.time() - t0)
+
+
 def hw_calibration(n: int, xn: int) -> float:
     """Attainable parallel-scaling ceiling of this host *right now*.
 
@@ -104,25 +140,16 @@ def hw_calibration(n: int, xn: int) -> float:
     ~1.0 over tens of minutes.  Engine efficiency is therefore reported
     both raw and normalized by this simultaneously-measured ceiling.
     """
-    import multiprocessing as mp
+    return _mp_scaling(_burn_cpu, n, xn)
 
-    def burn(q):
-        t0 = time.time()
-        x = 0
-        for i in range(30_000_000):
-            x += i * i
-        q.put(time.time() - t0)
 
-    def run(k: int) -> float:
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
-        t0 = time.time()
-        [p.start() for p in ps]
-        [p.join() for p in ps]
-        return k / (time.time() - t0)
-
-    lo, hi = run(n), run(xn)
-    return (hi / lo) / (xn / n)
+def mem_calibration(n: int, xn: int) -> float:
+    """Memory-bandwidth scaling ceiling (diagnostic, logged per probe):
+    extraction churns strings/Arrow buffers, so when this is far below
+    the cpu ceiling the engine's attainable efficiency is bandwidth-bound
+    — a constraint a real 4N-executor cluster (4x the memory buses)
+    does not share."""
+    return _mp_scaling(_burn_mem, n, xn)
 
 
 def main() -> int:
@@ -163,8 +190,10 @@ def main() -> int:
         c = round(hw_calibration(args.n, args.xn), 3)
         if c < args.min_ceiling:
             probes += 1
-            print(f"host ceiling {c} < {args.min_ceiling} — waiting for a "
-                  f"healthier window ({probes}/{args.max_probes})",
+            m = round(mem_calibration(args.n, args.xn), 3)
+            print(f"host ceiling cpu={c} (mem={m}) < {args.min_ceiling} — "
+                  f"waiting for a healthier window "
+                  f"({probes}/{args.max_probes})",
                   file=sys.stderr)
             if probes >= args.max_probes:
                 print("no healthy window found; giving up", file=sys.stderr)
@@ -174,7 +203,9 @@ def main() -> int:
             time.sleep(args.wait_sec)
             continue
         ceilings.append(c)
-        print(f"hw ceiling before trial {t}: {c}", file=sys.stderr)
+        m = round(mem_calibration(args.n, args.xn), 3)
+        print(f"hw ceiling before trial {t}: cpu={c} mem={m}",
+              file=sys.stderr)
         runs_lo.append(run_at(args.n, input_path, zpath, f"{args.tag}{t}",
                               salt=args.salt))
         time.sleep(5)  # settle: let the previous JVM/page-cache drain
