@@ -594,6 +594,70 @@ class PdfDocument:
                 out[name] = st.raw  # raw (possibly compressed) bytes: identity input
         return out
 
+    def page_images(self, page: dict) -> list[dict]:
+        """Decodable embedded raster images of a page (reference analogue:
+        ``pdf_to_images``, ``processors/ocr.py:27-57`` — the reference
+        RENDERS pages via PyMuPDF; without a rasterizer this extracts the
+        embedded image XObjects instead, which is what scanned-document
+        pages are made of).
+
+        Each dict: ``{name, width, height, format, payload, error}`` where
+        ``format`` is
+
+        - ``"jpeg"`` — ``/DCTDecode`` stream: the payload IS the JFIF file
+          (decodable by ``jpegmini``),
+        - ``"png"``  — Flate/uncompressed 8-bit DeviceGray/DeviceRGB
+          samples re-wrapped losslessly via ``pngmini.encode_png``,
+        - ``"raw"``  — anything else (CCITT/JBIG2/exotic colorspaces):
+          undecoded stream bytes + a loud ``error`` reason.
+        """
+        res = self.resolve(page.get("Resources", {})) or {}
+        xob = self.resolve(res.get("XObject", {})) or {}
+        out = []
+        for name, ref in xob.items():
+            st = self.resolve(ref)
+            if not isinstance(st, _Stream):
+                continue
+            d = {k: self.resolve(v) for k, v in st.dict.items()}
+            if d.get("Subtype") not in (None, "Image"):
+                continue
+            w = int(d.get("Width", 0) or 0)
+            h = int(d.get("Height", 0) or 0)
+            bpc = int(d.get("BitsPerComponent", 8) or 8)
+            cs = d.get("ColorSpace")
+            filt = d.get("Filter")
+            filters = filt if isinstance(filt, list) else \
+                ([filt] if filt else [])
+            rec = {"name": name, "width": w, "height": h,
+                   "format": "raw", "payload": st.raw, "error": None}
+            try:
+                if filters and filters[-1] == "DCTDecode":
+                    data = st.raw
+                    if len(filters) > 1:  # e.g. Flate-then-DCT chains
+                        data = _Stream(
+                            {**st.dict, "Filter": filters[:-1]}, data
+                        ).decoded()
+                    rec.update(format="jpeg", payload=data)
+                elif all(f == "FlateDecode" for f in filters):
+                    samples = st.decoded()
+                    channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+                    if channels and bpc == 8 and \
+                            len(samples) == w * h * channels:
+                        from . import pngmini
+                        rec.update(format="png",
+                                   payload=pngmini.encode_png(
+                                       samples, w, h, channels))
+                    else:
+                        rec["error"] = (f"unsupported sample layout "
+                                        f"(cs={cs!r} bpc={bpc} "
+                                        f"len={len(samples)})")
+                else:
+                    rec["error"] = f"unsupported image filter chain {filters!r}"
+            except Exception as e:  # corrupt stream → raw + reason
+                rec["error"] = str(e)
+            out.append(rec)
+        return out
+
 
 class _Stream:
     def __init__(self, d: dict, raw: bytes):
@@ -864,6 +928,10 @@ def write_pdf(pages: list[dict], compress: bool = True,
       ``{"runs": [(x, y, text), ...]}``            — a text page, or
       ``{"image": b"..."} ``                       — an image-only page
         (stub XObject stream drawn via ``Do``; exercises OCR fallback).
+        Optional keys make it a REAL embedded image:
+        ``"image_format": "jpeg"`` (payload is a JFIF file → /DCTDecode)
+        or ``"image_format": "gray"``/``"rgb"`` (payload is raw 8-bit
+        samples), with ``"width"``/``"height"``.
 
     ``xref_stream=True`` emits a PDF 1.5-style file: the font object is
     packed into a ``/Type /ObjStm`` object stream (type-2 xref entry) and
@@ -883,9 +951,18 @@ def write_pdf(pages: list[dict], compress: bool = True,
     for pg in pages:
         if "image" in pg:
             img = pg["image"]
-            img_num = add(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
-                          b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>"
-                          b"\nstream\n%s\nendstream" % (len(img), img))
+            ifmt = pg.get("image_format")
+            iw, ih = pg.get("width", 8), pg.get("height", 8)
+            if ifmt == "jpeg":
+                extra = b"/Filter /DCTDecode /ColorSpace /DeviceRGB "
+            elif ifmt == "rgb":
+                extra = b"/ColorSpace /DeviceRGB "
+            else:  # "gray" or the legacy stub
+                extra = b"/ColorSpace /DeviceGray "
+            img_num = add(b"<< /Type /XObject /Subtype /Image /Width %d "
+                          b"/Height %d %s/BitsPerComponent 8 /Length %d >>"
+                          b"\nstream\n%s\nendstream"
+                          % (iw, ih, extra, len(img), img))
             content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
             res = b"<< /XObject << /Im1 %d 0 R >> >>" % img_num
         elif "cmap" in pg:

@@ -227,6 +227,65 @@ def resize_media(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=RESIZED_DDL)
 
 
+#: rows emitted by pdf_images (one per embedded raster image)
+PDF_IMAGE_DDL = (
+    "doc_id string, page_idx int, image_idx int, format string, "
+    "width int, height int, content binary, extract_ok boolean, "
+    "error_message string"
+)
+
+
+def pdf_images(df: DataFrame, id_col: str = "doc_id",
+               content_col: str = "content") -> DataFrame:
+    """PDF bytes → one row per embedded raster image (the reference's
+    ``pdf_to_images`` stage, ``processors/ocr.py:27-57`` — it renders
+    pages via PyMuPDF; without a rasterizer this extracts the embedded
+    image XObjects, which is what scanned-page PDFs are made of).
+
+    ``/DCTDecode`` images come out as ready-to-decode JPEG files and
+    Flate/raw 8-bit gray/RGB samples as lossless PNG re-wraps — both feed
+    straight into :func:`decode_media` / :func:`resize_media`.  Exotic
+    codecs (CCITT/JBIG2) come back ``extract_ok=false`` with the reason.
+
+    Plan shape: narrow ``mapInPandas`` with in-batch page/image fan-out —
+    a thousand-image PDF never becomes a driver loop, and payload bytes
+    never shuffle.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import pdfmini
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "page_idx", "image_idx",
+                                   "format", "width", "height", "content",
+                                   "extract_ok", "error_message")}
+
+            def emit(did, pi, ii, fmt, w, h, payload, ok, err):
+                out["doc_id"].append(did)
+                out["page_idx"].append(pi)
+                out["image_idx"].append(ii)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["content"].append(payload)
+                out["extract_ok"].append(ok)
+                out["error_message"].append(err)
+
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    doc = pdfmini.PdfDocument(payload)
+                    for pi, page in enumerate(doc.pages()):
+                        for ii, rec in enumerate(doc.page_images(page)):
+                            emit(did, pi, ii, rec["format"], rec["width"],
+                                 rec["height"], rec["payload"],
+                                 rec["error"] is None, rec["error"])
+                except Exception as e:  # not a PDF / corrupt → error row
+                    emit(did, -1, -1, None, 0, 0, None, False, str(e))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=PDF_IMAGE_DDL)
+
+
 def frame_sample(df: DataFrame, content_col: str = "content",
                  every_ms: int = 1000, max_frames: int = 16) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
