@@ -102,10 +102,14 @@ def _mp_scaling(fn, n: int, xn: int) -> float:
     def run(k: int) -> float:
         q = mp.Queue()
         ps = [mp.Process(target=fn, args=(q,)) for _ in range(k)]
-        t0 = time.time()
         [p.start() for p in ps]
+        # children time only their work loop (q-reported): fork/import/
+        # first-touch-allocation costs otherwise dominate the first phase
+        # (THP faulting of fresh GBs is serialized in the kernel) and
+        # fabricate impossible >1 "scaling"
+        times = [q.get() for _ in ps]
         [p.join() for p in ps]
-        return k / (time.time() - t0)
+        return k / max(times)
 
     lo, hi = run(n), run(xn)
     return (hi / lo) / (xn / n)
