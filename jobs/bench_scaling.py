@@ -188,7 +188,7 @@ def main() -> int:
 
     # interleaved trials (N, 4N, N, 4N, ...): drifting host noise hits both
     # sizes symmetrically; best-of-k per size filters the noisy windows
-    runs_lo, runs_hi, ceilings = [], [], []
+    runs_lo, runs_hi, ceilings, mem_ceilings = [], [], [], []
     t, probes = 0, 0
     while t < args.trials:
         c = round(hw_calibration(args.n, args.xn), 3)
@@ -208,6 +208,7 @@ def main() -> int:
             continue
         ceilings.append(c)
         m = round(mem_calibration(args.n, args.xn), 3)
+        mem_ceilings.append(m)
         print(f"hw ceiling before trial {t}: cpu={c} mem={m}",
               file=sys.stderr)
         runs_lo.append(run_at(args.n, input_path, zpath, f"{args.tag}{t}",
@@ -242,6 +243,7 @@ def main() -> int:
         "trials_xn_sec": hi.get("all_elapsed_sec"),
         "scaling_efficiency": round(eff, 3),
         "hw_ceiling_trials": ceilings,
+        "mem_ceiling_trials": mem_ceilings,
         "hw_ceiling": max(ceilings) if ceilings else None,
         "normalized_efficiency":
             round(eff / max(ceilings), 3) if ceilings else None,
@@ -309,6 +311,17 @@ parallel pure-Python multiprocessing (no Spark, no I/O) was measured
 immediately before each trial at {report['hw_ceiling_trials']}
 (1.0 = perfect).  Engine efficiency normalized by the best
 simultaneously-measured ceiling: **{report['normalized_efficiency']}**.
+
+A second per-trial probe measures the N→4N scaling of pure
+memory-STREAMING work (256 MB/proc numpy passes, far past LLC):
+{report['mem_ceiling_trials']}.  The VM's shared memory buses often
+scale far worse than its cores (readings of 0.3–0.5 are common while
+the cpu ceiling shows 0.6–0.9), and extraction — Arrow batches, parquet
+encode, shuffle, GC — is partially bandwidth-bound, so its attainable
+efficiency sits between the two probes.  This constraint is an artifact
+of emulating 4N executors on ONE shared memory system: a real 4N-node
+cluster brings 4x the memory buses, so per-node bandwidth per core is
+constant and this term disappears.
 
 Raw per-run efficiencies across the session ranged ~0.2–1.0 purely with
 host noise (git history of this file records them); the cleanest
