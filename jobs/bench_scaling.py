@@ -106,10 +106,12 @@ def _mp_scaling(fn, n: int, xn: int) -> float:
         # children time only their work loop (q-reported): fork/import/
         # first-touch-allocation costs otherwise dominate the first phase
         # (THP faulting of fresh GBs is serialized in the kernel) and
-        # fabricate impossible >1 "scaling"
+        # fabricate impossible >1 "scaling".  Aggregate = sum of child
+        # rates, not k/max: child times spread up to 16x under scheduler
+        # straggling, and a single straggler would hostage the metric.
         times = [q.get() for _ in ps]
         [p.join() for p in ps]
-        return k / max(times)
+        return sum(1.0 / t for t in times)
 
     lo, hi = run(n), run(xn)
     return (hi / lo) / (xn / n)
@@ -130,7 +132,7 @@ def _burn_mem(q):
     a = np.ones(32 * 1024 * 1024, dtype=np.float64)
     t0 = time.time()
     s = 0.0
-    for _ in range(4):
+    for _ in range(10):
         s += float(a.sum())
         a *= 1.0000001
     q.put(time.time() - t0)
