@@ -61,9 +61,16 @@ def run_at(cores: int, input_path: str, zpath: str, tag: str,
         ["taskset", "-c", f"0-{cores - 1}",
          "spark-submit", "--master", f"local[{cores}]",
          # 12g is ~4x the live set: an oversized heap turned out to cost
-         # 30s+ full-GC pauses right after the allocation-heavy extraction
+         # 30s+ full-GC pauses right after the allocation-heavy extraction.
+         # Young-gen floor 40%: G1 otherwise shrinks young to chase the
+         # pause goal under the 4x allocation rate at 32 cores — measured
+         # (event-log gcTime, 120k docs) 194s -> 134s GC task-seconds and
+         # 269s -> 211s JVM cpu with the tuned flags, wall unchanged
          "--driver-memory", "12g",
-         "--conf", "spark.driver.extraJavaOptions=-XX:MaxGCPauseMillis=300",
+         "--conf", ("spark.driver.extraJavaOptions="
+                    "-XX:+UnlockExperimentalVMOptions "
+                    "-XX:MaxGCPauseMillis=1000 -XX:G1NewSizePercent=40 "
+                    "-XX:G1MaxNewSizePercent=70"),
          # shuffle spill dir on tmpfs: the bucket repartition before the
          # partitioned results write shuffles extracted text; on this
          # shared box the default /tmp disk bandwidth does NOT scale with
@@ -325,18 +332,25 @@ of emulating 4N executors on ONE shared memory system: a real 4N-node
 cluster brings 4x the memory buses, so per-node bandwidth per core is
 constant and this term disappears.
 
-Raw per-run efficiencies across the session ranged ~0.2–1.0 purely with
-host noise (git history of this file records them); the cleanest
-both-sides-typical passing window measured **0.882**
-(84.7 s → 24.0 s), and stage-level (extract+write only) scaling in quiet
-windows measured **0.94**.  A reported efficiency > ceiling or > 1.0
-means the N-side half of that pairing was itself noise-degraded — read
-this file's table together with the ceiling numbers.  Rerun
-`python jobs/bench_scaling.py` to reproduce under current conditions.
+Raw per-run efficiencies across sessions ranged ~0.2–1.0 purely with
+host noise (git history of this file records them).  A reported
+efficiency slightly > 1.0 at small N is expected structure, not noise:
+the driver JVM's fixed service threads (scheduler, Netty, GC workers)
+compete for only N pinned cores on the N side — a tax that vanishes as
+N grows and does not exist for real multi-node executors.  Efficiency
+far above the ceiling means the N-side half of that pairing was
+noise-degraded — read this file's table together with the ceiling
+numbers.  Rerun `python jobs/bench_scaling.py` to reproduce under
+current conditions.
 
 Conf: shuffle.partitions = cores; AQE on; Arrow maxRecordsPerBatch=256;
 12g driver heap (larger heaps caused 30s full-GC pauses after the
-allocation-heavy extraction stage); results repartitioned by bucket and
+allocation-heavy extraction stage; G1 young-gen floored at 40% — G1
+otherwise shrinks young chasing the pause goal under the 4x allocation
+rate at 32 cores, costing 194 s vs 134 s GC task-seconds);
+`--split-mb 8` fine input splits (compute-bound scan: 128 MB default
+splits degenerate to ~1 unbalanced task wave per core, measured via
+event-log stage analysis); results repartitioned by bucket and
 written `partitionBy(bucket)` (one file per touched bucket per run —
 directory-pruned lineage re-scan and incremental reassembly); lineage
 aggregates a column-pruned, run_id-filtered projection.  Skew: heavy
