@@ -239,3 +239,37 @@ def fixture_df(spark, seed: int, n_docs: int, profile: FixtureProfile = SMOKE,
 
     rng = spark.range(0, n_docs, numPartitions=n_partitions or max(2, n_docs // 500))
     return rng.mapInPandas(gen, schema=DOCUMENTS_SCHEMA)
+
+
+# ===========================================================================
+# PDF-document corpus (for the embedded-image extraction oracle)
+# ===========================================================================
+
+def pdf_corpus_rows(seed: int, n_docs: int):
+    """Deterministic ``(doc_id, pdf_bytes)`` corpus for ``pdf_images``.
+
+    Every byte is a pure function of ``(seed, idx)`` — both the Spark
+    query (`queries.pdf_images_e2e`) and the no-Spark golden generator
+    (`tools/make_golden_parquet.py`) build the identical corpus, so a
+    committed parquet of the expected rows can hash-gate the distributed
+    operator.  Page mix per doc cycles through: text page, real gray
+    image, real RGB image, and (every 5th doc) the legacy undecodable
+    stub that must surface as a loud ``extract_ok=false`` row.
+    """
+    from .functions import pdfmini
+
+    for idx in range(n_docs):
+        did = doc_id_for(seed, idx)
+        w, h = 6 + (idx % 5), 4 + (idx % 3)
+        gray = bytes((seed + idx + x * 7 + y * 13) % 256
+                     for y in range(h) for x in range(w))
+        rgb = bytes((seed + idx * 3 + i) % 256 for i in range(w * h * 3))
+        pages = [
+            {"runs": [(72.0, 700.0, f"doc {idx} page one")]},
+            {"image": gray, "image_format": "gray", "width": w, "height": h},
+            {"image": rgb, "image_format": "rgb", "width": w, "height": h},
+        ]
+        if idx % 5 == 0:
+            pages.append({"image": b"stub" + bytes([idx % 251])})
+        yield did, pdfmini.write_pdf(pages, compress=True,
+                                     xref_stream=(idx % 2 == 1))

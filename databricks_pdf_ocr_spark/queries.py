@@ -843,6 +843,35 @@ def extract_e2e(spark, sf_dir):
                     F.col("s.media_ref").alias("media_ref")))
 
 
+@register("pdf_images_e2e", """
+SELECT doc_id, page_idx, image_idx, format, width, height,
+       content_len, content_sha, extract_ok, error_message
+FROM read_parquet('/root/repo/tests/data/golden_pdf_images.parquet')
+""")
+def pdf_images_e2e(spark, sf_dir):
+    """Embedded-image extraction end-to-end: deterministic PDF corpus
+    (text + real gray/RGB image pages + a legacy undecodable stub every
+    5th doc) → distributed ``pdf_images`` → payload hashes.
+
+    Oracle: the same corpus run through ``PdfDocument.page_images``
+    single-process with NO Spark (tools/make_golden_parquet.py),
+    committed as parquet — DuckDB hash-compares payload sha256/length,
+    dimensions, formats, and the error contract (reference analogue:
+    ``pdf_to_images``, processors/ocr.py:27-57)."""
+    from .fixtures import pdf_corpus_rows
+    from .operators.multimodal import pdf_images
+
+    docs = spark.createDataFrame(
+        list(pdf_corpus_rows(seed=42, n_docs=40)),
+        "doc_id string, content binary").repartition(8)
+    imgs = pdf_images(docs)
+    return imgs.select(
+        "doc_id", "page_idx", "image_idx", "format", "width", "height",
+        F.length("content").cast("bigint").alias("content_len"),
+        F.sha2("content", 256).alias("content_sha"),
+        "extract_ok", "error_message")
+
+
 _CURATE_QTHR = 450_000          # quality gate (micro-units), ~75th pct pass
 _CURATE_SAMPLE = {"en": 60}     # keep-%, non-listed langs take the default
 _CURATE_DEFAULT = 40

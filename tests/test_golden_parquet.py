@@ -1,12 +1,29 @@
-"""The committed extract_e2e golden parquet must match regeneration from
-the fixture + single-process golden pipeline (guards fixture/kernel drift
-from silently invalidating the flagship oracle)."""
+"""The committed golden parquets must match regeneration from the
+fixture + single-process golden pipelines (guards fixture/kernel drift
+from silently invalidating the flagship and pdf_images oracles)."""
 
 import pyarrow.parquet as pq
 
-from tools.make_golden_parquet import GOLDEN_PATH, golden_table
+from tools.make_golden_parquet import (
+    GOLDEN_PATH, PDFIMG_GOLDEN_PATH, golden_table, pdf_images_golden_table,
+)
 
 
 def test_golden_parquet_fresh():
     assert pq.read_table(GOLDEN_PATH).equals(golden_table()), \
         "stale golden — python tools/make_golden_parquet.py"
+
+
+def test_pdf_images_golden_fresh():
+    assert pq.read_table(PDFIMG_GOLDEN_PATH).equals(
+        pdf_images_golden_table()), \
+        "stale golden — python tools/make_golden_parquet.py"
+
+
+def test_pdf_images_golden_covers_contract():
+    t = pq.read_table(PDFIMG_GOLDEN_PATH).to_pydict()
+    # real decodable payloads AND the loud undecodable-stub rows
+    assert set(t["format"]) == {"png", "raw"}
+    assert any(not ok for ok in t["extract_ok"])
+    assert all(msg for ok, msg in zip(t["extract_ok"], t["error_message"])
+               if not ok)

@@ -53,17 +53,66 @@ def golden_table() -> pa.Table:
     })
 
 
+#: must mirror queries.pdf_images_e2e exactly
+PDFIMG_SEED, PDFIMG_DOCS = 42, 40
+
+PDFIMG_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_pdf_images.parquet"
+
+
+def pdf_images_golden_table() -> pa.Table:
+    """Single-process truth for the distributed ``pdf_images`` operator:
+    the identical deterministic corpus through ``PdfDocument.page_images``
+    with no Spark, payloads reduced to sha256/length (what the query
+    projects)."""
+    import hashlib
+
+    from databricks_pdf_ocr_spark.functions import pdfmini
+
+    cols = {k: [] for k in ("doc_id", "page_idx", "image_idx", "format",
+                            "width", "height", "content_len", "content_sha",
+                            "extract_ok", "error_message")}
+    for did, pdf_bytes in fixtures.pdf_corpus_rows(PDFIMG_SEED, PDFIMG_DOCS):
+        doc = pdfmini.PdfDocument(pdf_bytes)
+        for pi, page in enumerate(doc.pages()):
+            for ii, rec in enumerate(doc.page_images(page)):
+                cols["doc_id"].append(did)
+                cols["page_idx"].append(pi)
+                cols["image_idx"].append(ii)
+                cols["format"].append(rec["format"])
+                cols["width"].append(rec["width"])
+                cols["height"].append(rec["height"])
+                cols["content_len"].append(len(rec["payload"]))
+                cols["content_sha"].append(
+                    hashlib.sha256(rec["payload"]).hexdigest())
+                cols["extract_ok"].append(rec["error"] is None)
+                cols["error_message"].append(rec["error"])
+    return pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.string()),
+        "page_idx": pa.array(cols["page_idx"], pa.int32()),
+        "image_idx": pa.array(cols["image_idx"], pa.int32()),
+        "format": pa.array(cols["format"], pa.string()),
+        "width": pa.array(cols["width"], pa.int32()),
+        "height": pa.array(cols["height"], pa.int32()),
+        "content_len": pa.array(cols["content_len"], pa.int64()),
+        "content_sha": pa.array(cols["content_sha"], pa.string()),
+        "extract_ok": pa.array(cols["extract_ok"], pa.bool_()),
+        "error_message": pa.array(cols["error_message"], pa.string()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
-    table = golden_table()
-    if check:
-        existing = pq.read_table(GOLDEN_PATH)
-        assert existing.equals(table), "golden parquet is stale — regenerate"
-        print(f"golden up to date: {GOLDEN_PATH} ({table.num_rows} rows)")
-        return 0
-    GOLDEN_PATH.parent.mkdir(parents=True, exist_ok=True)
-    pq.write_table(table, GOLDEN_PATH)
-    print(f"wrote {GOLDEN_PATH} ({table.num_rows} rows)")
+    for path, table in ((GOLDEN_PATH, golden_table()),
+                        (PDFIMG_GOLDEN_PATH, pdf_images_golden_table())):
+        if check:
+            existing = pq.read_table(path)
+            assert existing.equals(table), f"{path} is stale — regenerate"
+            print(f"golden up to date: {path} ({table.num_rows} rows)")
+            continue
+        path.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, path)
+        print(f"wrote {path} ({table.num_rows} rows)")
     return 0
 
 
