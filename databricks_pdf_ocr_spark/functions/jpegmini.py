@@ -154,6 +154,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while i < n - 1:
         if data[i] != 0xFF:
             raise JpegError(f"expected marker at {i}")
+        # the spec permits 0xFF fill bytes between segments — skip them
+        # so the marker code is the first non-0xFF byte (ADVICE r3)
+        while i + 2 < n and data[i + 1] == 0xFF:
+            i += 1
         m = data[i + 1]
         if m == 0xD9:  # EOI before any scan
             break

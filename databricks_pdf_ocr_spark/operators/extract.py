@@ -55,19 +55,22 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     The *stored* span order is untrusted (fixtures shuffle it); ``offset``
     is the authoritative order, so we drop the explode position.
     """
+    offsets = F.transform("spans", lambda s: s["offset"])
     return documents.select(
         "doc_id",
         F.size("spans").cast("int").alias("total_spans"),
-        # flag the min-offset span BEFORE the explode scatters a doc's
-        # spans across partitions: downstream lineage counts documents
-        # with sum(is_first) — no count-distinct Expand over all rows
-        F.array_min(F.transform("spans", lambda s: s["offset"]))
-        .alias("min_offset"),
-        F.explode("spans").alias("span"),
+        # flag ONE span BEFORE the explode scatters a doc's spans across
+        # partitions: downstream lineage counts documents with
+        # sum(is_first) — no count-distinct Expand over all rows.
+        # array_position of the min (1-based, FIRST occurrence) rather
+        # than offset == min: duplicate offsets would flag several spans
+        # and silently overcount docs_done (ADVICE r3).
+        F.array_position(offsets, F.array_min(offsets)).alias("first_pos"),
+        F.posexplode("spans").alias("pos", "span"),
     ).select(
         "doc_id",
         "total_spans",
-        (F.col("span.offset") == F.col("min_offset")).alias("is_first"),
+        (F.col("pos") + 1 == F.col("first_pos")).alias("is_first"),
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),

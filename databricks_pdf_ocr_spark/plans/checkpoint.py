@@ -44,9 +44,18 @@ class CheckpointManager:
 
     # -- read side ---------------------------------------------------------
 
+    def _read_checkpoint(self) -> DataFrame | None:
+        """All checkpoint reads pass the explicit schema (ADVICE r3): a
+        table holding pre-run_seq files plus new ones would otherwise be
+        footer-SAMPLED for schema — run_seq could be invisible and
+        next_run_seq would restart at 1, stamping a regressed ordinal
+        that makes latest_results revive an old run.  With the explicit
+        schema, old files yield run_seq=null and max() ignores them."""
+        return self.io.read(CHECKPOINT_TABLE, schema=CHECKPOINT_SCHEMA)
+
     def done_buckets(self, input_fingerprint: str) -> DataFrame:
         """Distinct buckets already marked done for this work set."""
-        cp = self.io.read(CHECKPOINT_TABLE)
+        cp = self._read_checkpoint()
         if cp is None:
             return self.spark.createDataFrame([], "bucket int")
         return (cp.filter((F.col("input_fingerprint") == input_fingerprint)
@@ -78,8 +87,8 @@ class CheckpointManager:
         ordinal + 1 is the authoritative next sequence (control-plane
         aggregate over the tiny lineage table).
         """
-        cp = self.io.read(CHECKPOINT_TABLE)
-        if cp is None or "run_seq" not in cp.columns:
+        cp = self._read_checkpoint()
+        if cp is None:
             return 1
         mx = cp.agg(F.max("run_seq")).first()[0]
         return int(mx or 0) + 1
@@ -91,7 +100,7 @@ class CheckpointManager:
         A bucket whose results committed but whose mark didn't (crash in
         the write→mark window) is still *pending* for its input, so the
         resume run re-extracts it and carries it in pend_list instead."""
-        cp = self.io.read(CHECKPOINT_TABLE)
+        cp = self._read_checkpoint()
         if cp is None:
             return set()
         return {r["bucket"] for r in cp.select("bucket").distinct().collect()}
@@ -99,7 +108,7 @@ class CheckpointManager:
     def run_history(self, k: int = 10) -> DataFrame:
         """Latest runs with aggregate metrics (reference:
         ``managers/state.py:106-132`` orderBy+limit top-k)."""
-        cp = self.io.read(CHECKPOINT_TABLE)
+        cp = self._read_checkpoint()
         if cp is None:
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
         return (cp.groupBy("run_id")

@@ -970,8 +970,12 @@ def dedup_modes_agree(spark, sf_dir):
             .crossJoin(inter.agg(F.count(F.lit(1)).alias("__n_inter")))
             .crossJoin(union.agg(F.count(F.lit(1)).alias("__n_union")))
             .select("n_sha2_pairs",
-                    ((F.col("__n_inter") / F.col("__n_union"))
-                     >= _MODES_AGREE_THR).alias("modes_agree")))
+                    # a dup-free corpus yields zero pairs in BOTH families
+                    # → union 0; try_divide (ANSI-safe) nulls the ratio and
+                    # the modes vacuously agree, not disagree (ADVICE r3)
+                    F.coalesce(F.try_divide("__n_inter", "__n_union")
+                               >= _MODES_AGREE_THR,
+                               F.lit(True)).alias("modes_agree")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

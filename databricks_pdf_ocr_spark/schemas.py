@@ -76,6 +76,23 @@ RESULTS_SCHEMA = T.StructType([
     T.StructField("ocr_model", T.StringType(), False),      # ref: schemas.py:41
 ])
 
+# Full schema of the persisted results table: kernel output plus the run
+# columns jobs/extract.py stamps before the write (`bucket` is the
+# partition directory column).  Readers pass this explicitly (ADVICE r3):
+# inferring from a table that mixes pre-run_seq files with new ones
+# samples ONE footer, can miss `run_seq`, and latest_results would then
+# fall back to wall-clock ordering — the stale-doc revival run_seq exists
+# to prevent.  run_seq is nullable here: old files yield null, which
+# loses to any stamped ordinal in the latest-wins struct max.
+RESULTS_RUN_SCHEMA = T.StructType(
+    RESULTS_SCHEMA.fields + [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("run_seq", T.LongType(), True),
+        T.StructField("input_fingerprint", T.StringType(), False),
+        T.StructField("processed_at", T.TimestampType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ])
+
 # Schema string for mapInPandas (must match RESULTS_SCHEMA field order).
 RESULTS_DDL = (
     "result_id string, doc_id string, offset int, sub_idx int, total_spans int, "

@@ -252,7 +252,11 @@ def run_job(spark, args) -> tuple[dict, int]:
         # reads the FULL results table for it (partition-pruned to just
         # those bucket dirs), so partitions accumulate docs across
         # runs/fingerprints correctly.
-        results_all = io.read(RESULTS_TABLE)
+        # explicit full schema (ADVICE r3): a mixed old/new table would be
+        # footer-SAMPLED for schema — run_seq could be invisible here and
+        # latest_results would silently fall back to wall-clock ordering
+        from databricks_pdf_ocr_spark.schemas import RESULTS_RUN_SCHEMA
+        results_all = io.read(RESULTS_TABLE, schema=RESULTS_RUN_SCHEMA)
         # assembly scope from the CHECKPOINT table (≤ runs×n_buckets tiny
         # rows), never a listing/distinct over the results corpus — at
         # 10^12 docs even a partition-column-only distinct pays the file

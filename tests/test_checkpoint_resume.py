@@ -116,3 +116,31 @@ def test_next_run_seq_is_monotonic(env):
     results = io.read("extraction_results")
     cp.mark_from_results(dedup_results(results), new_run_id(), FP + "-b", 1)
     assert cp.next_run_seq() == 3
+
+
+def test_next_run_seq_survives_mixed_schema_table(env, tmp_tables):
+    """ADVICE r3: a checkpoint table mixing pre-run_seq files with new
+    ones must not footer-sample its schema — run_seq could be invisible
+    and next_run_seq would restart at 1, stamping a regressed ordinal
+    that revives stale docs in latest-wins reassembly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    io, cp, rows, df = env
+    _process(io, cp, cp.filter_pending(df, FP), "r")      # run_seq=1 marks
+    assert cp.next_run_seq() == 2
+    # drop a legacy part file WITHOUT the run_seq column into the table
+    old = pa.Table.from_pydict({
+        "run_id": ["legacy-run"], "input_fingerprint": ["old-fp"],
+        "bucket": pa.array([0], pa.int32()), "status": ["done"],
+        "docs_done": pa.array([1], pa.int64()),
+    })
+    pq.write_table(old, os.path.join(tmp_tables, CHECKPOINT_TABLE,
+                                     "part-legacy.snappy.parquet"))
+    # explicit-schema read: legacy rows surface with run_seq null and the
+    # ordinal still advances from the real max regardless of which file
+    # Spark would have sampled
+    assert cp.next_run_seq() == 2
+    assert cp.all_marked_buckets() >= {0}

@@ -56,3 +56,22 @@ def test_simhash_modes(corpus, mode):
                                  hash_mode=mode).collect()}
     assert pairs[("dup_a", "dup_b")] == 0
     assert ("near_a", "near_b") in pairs
+
+
+def test_modes_agree_true_on_dup_free_corpus(spark, tmp_path):
+    """ADVICE r3: zero verified pairs in BOTH hash families → union 0 →
+    the agreement ratio is null; the gate must report vacuous agreement
+    (true), not null/fail."""
+    from databricks_pdf_ocr_spark import queries as Q
+
+    rng = random.Random(5)
+    # texts with disjoint vocabulary chunks — no near-dup pairs survive
+    rows = [(f"u{i}", " ".join(f"w{i}_{j}" for j in range(60)))
+            for i in range(12)]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(f"{sf_dir}/documents.parquet")
+    out = Q.queries()["dedup_modes_agree"](spark, sf_dir).collect()
+    assert len(out) == 1
+    assert out[0]["n_sha2_pairs"] == 0
+    assert out[0]["modes_agree"] is True

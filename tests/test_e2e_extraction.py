@@ -97,3 +97,21 @@ def test_explode_spans_shape(spark, input_rows):
     # exactly one first-span marker per document
     assert (spans.filter("is_first").count()
             == spans.select("doc_id").distinct().count())
+
+
+def test_duplicate_offsets_flag_exactly_one_first(spark):
+    """ADVICE r3: a doc carrying duplicate offsets must still flag exactly
+    ONE is_first span, or lineage docs_done (sum of is_first_span)
+    silently overcounts."""
+    rows = [("dup-doc", [
+        {"kind": "text", "text": "a", "media_ref": None, "offset": 5},
+        {"kind": "text", "text": "b", "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "c", "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "d", "media_ref": None, "offset": 0},
+    ])]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    spans = explode_spans(df)
+    assert spans.count() == 4
+    firsts = spans.filter("is_first").collect()
+    assert len(firsts) == 1
+    assert firsts[0]["offset"] == 0

@@ -169,3 +169,19 @@ def test_image_file_sources(spark):
     capped = image_sources.read_binary_images(
         spark, SPARK_IMAGES, max_bytes=30000).collect()
     assert 0 < len(capped) < len(raw)
+
+
+@needs_images
+def test_fill_bytes_between_segments_tolerated():
+    """ADVICE r3: the spec permits 0xFF fill bytes between marker
+    segments; decode must skip them, not misparse the padding as a
+    marker with a bogus length."""
+    decoded = _baseline_jpegs()
+    assert decoded, "expected at least one baseline sample"
+    path, (w, h, c, pix) = decoded[0]
+    data = open(path, "rb").read()
+    # insert fill padding immediately after SOI, before the first segment
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    pw, ph, pc, ppix = decode_jpeg(padded)
+    assert (pw, ph, pc) == (w, h, c)
+    assert ppix == pix
