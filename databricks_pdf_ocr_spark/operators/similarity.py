@@ -119,7 +119,9 @@ def ivf_assign(embeddings: DataFrame, n_clusters: int = 16,
     """IVF coarse quantizer: deterministic k-means over DataFrame ops.
 
     Centroid init: the ``n_clusters`` vectors with the smallest
-    ``xxhash64(id)`` (a deterministic pseudo-random sample, no RNG state);
+    ``sha2(id)`` (a deterministic pseudo-random sample, no RNG state;
+    sha2 rather than xxhash64 so the ordering is ENGINE-PORTABLE — the
+    DuckDB correctness oracle recomputes the same k-means end-to-end);
     then ``iterations`` Lloyd rounds — assign via broadcast
     nearest-centroid, update via per-cluster mean (one hash-agg shuffle
     per round).  Returns (assignments df [id, vec, cluster], centroids).
@@ -130,7 +132,7 @@ def ivf_assign(embeddings: DataFrame, n_clusters: int = 16,
     """
     spark = embeddings.sparkSession
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    seed_rows = (e.withColumn("h", F.xxhash64("id"))
+    seed_rows = (e.withColumn("h", F.sha2(F.col("id").cast("string"), 256))
                  .orderBy("h").limit(n_clusters).select("v").collect())
     centroids = [list(r["v"]) for r in seed_rows]
 
