@@ -4,20 +4,24 @@ The reference pipeline hands rendered page images to PIL for resize
 (``clients/claude.py:22-38``, ``processors/ocr.py:27-57``); this container
 has no imaging libraries, so the engine carries its own decoders for the
 formats that matter on the hot path.  PNG is ``pngmini.py``; this module
-decodes **baseline sequential JPEG/JFIF** (SOF0/SOF1: the camera/scanner
-default that dominates document-image corpora): DQT (8/16-bit), DHT,
-DRI/RSTn restart segments, 4:4:4 / 4:2:2 / 4:2:0 / arbitrary h,v
-subsampling, grayscale and YCbCr three-channel scans.
+decodes **baseline sequential (SOF0/SOF1) and progressive (SOF2)
+JPEG/JFIF** — between them the encodings that dominate both
+camera/scanner documents and web-crawled corpora (where progressive is
+the majority): DQT (8/16-bit), DHT, DRI/RSTn restart segments,
+4:4:4 / 4:2:2 / 4:2:0 / arbitrary h,v subsampling, grayscale and YCbCr
+three-channel scans, spectral-selection + successive-approximation
+progressive scan scripts (ITU-T T.81 §G).
 
-Progressive (SOF2) and the arithmetic/lossless/hierarchical SOF variants
-raise ``JpegError`` loudly — decode correctness over silent garbage.
+The arithmetic/lossless/hierarchical SOF variants raise ``JpegError``
+loudly — decode correctness over silent garbage.
 
 Validation: ``tests/test_jpeg_codec.py`` decodes the Apache Spark
-distribution's mllib test JPEGs and compares pixel-for-pixel against the
-JVM ImageIO ground truth from ``spark.read.format("image")``; with the
-libjpeg-style triangle chroma upsample the measured difference is
-meanAbs ≤ 0.1 / max ≤ 3 across every baseline sample (IDCT rounding is
-decoder-specific by spec, so exact equality is not required).
+distribution's mllib test JPEGs (incl. its real progressive sample) and
+JVM-ImageIO progressive re-encodes, comparing pixel-for-pixel against
+the JVM ImageIO ground truth; with the libjpeg-style triangle chroma
+upsample the measured difference is meanAbs ≤ 0.1 / max ≤ 3 across
+every sample (IDCT rounding is decoder-specific by spec, so exact
+equality is not required).
 
 Scale note: decode runs executor-side inside Arrow-batched
 ``mapInPandas`` (operators/multimodal.py) — bytes never shuffle, and the
@@ -134,11 +138,16 @@ def _u16(data: bytes, i: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline JPEG -> ``(width, height, channels, pixels)``.
+    """Decode baseline OR progressive JPEG -> ``(width, height, channels,
+    pixels)``.
 
     ``pixels`` is row-major interleaved uint8: RGB for 3-channel scans
     (JFIF YCbCr), single-plane for grayscale — same contract as
     ``pngmini.decode_png``.
+
+    Progressive (SOF2) streams accumulate DCT coefficients across scans
+    (spectral selection + successive approximation, per ITU-T T.81 §G);
+    the shared dequant/IDCT/upsample tail then renders once at EOI.
     """
     import numpy as np
 
@@ -149,6 +158,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (w, h, [(comp_id, h, v, tq), ...])
+    progressive = False
+    coeffs = None  # per-component raster coefficient grids (progressive)
+    geom = None
     i = 2
     n = len(data)
     while i < n - 1:
@@ -189,9 +201,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 values = seg[p + 17:p + 17 + nv]
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, values)
                 p += 17 + nv
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise JpegError(f"unsupported sample precision {seg[0]}")
+            progressive = (m == 0xC2)
             h, w, nc = _u16(seg, 1), _u16(seg, 3), seg[5]
             if nc not in (1, 3):
                 raise JpegError(f"unsupported component count {nc}")
@@ -201,31 +214,47 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * c]))
             frame = (w, h, comps)
-        elif m == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) not supported — "
-                            "baseline sequential only")
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{m:02X}")
         elif m == 0xDD:  # DRI
             restart_interval = _u16(seg, 0)
-        elif m == 0xDA:  # SOS — decode the scan and finish
+        elif m == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
-            for c in range(ns):
-                scan_tables[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
-                                               seg[2 + 2 * c] & 15)
-            return _decode_scan(data, i + 2 + ln, frame, scan_tables, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                scan_tables = {}
+                for c in range(ns):
+                    scan_tables[seg[1 + 2 * c]] = (seg[2 + 2 * c] >> 4,
+                                                   seg[2 + 2 * c] & 15)
+                return _decode_scan(data, i + 2 + ln, frame, scan_tables, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            members = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                        seg[2 + 2 * c] & 15) for c in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            if geom is None:
+                geom = _geometry(frame)
+                coeffs = [np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+                          for (bw_pad, bh_pad, _, _) in geom[4]]
+            i = _decode_progressive_scan(
+                data, i + 2 + ln, frame, geom, coeffs,
+                (members, ss, se, ah, al), huff_dc, huff_ac,
+                restart_interval)
+            continue
         i += 2 + ln
+    if progressive and coeffs is not None:
+        return _finish_progressive(frame, geom, coeffs, qt)
     raise JpegError("no scan data (missing SOS)")
 
 
-def _entropy_segments(data: bytes, start: int) -> list[bytes]:
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded stream at RSTn boundaries, unstuffing
-    0xFF00 -> 0xFF; stops at the first non-RST marker (EOI or next)."""
+    0xFF00 -> 0xFF; stops at the first non-RST marker (EOI or next).
+    Returns ``(segments, end_index)`` with ``end_index`` at the 0xFF of
+    the terminating marker (so progressive scans can resume the marker
+    loop there)."""
     segs, seg_start, i, n = [], start, start, len(data)
     while i < n - 1:
         if data[i] == 0xFF and data[i + 1] != 0x00:
@@ -238,7 +267,7 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
             break
         i += 1
     segs.append(data[seg_start:min(i, n)].replace(b"\xff\x00", b"\xff"))
-    return segs
+    return segs, min(i, n)
 
 
 def _fancy_upsample_2x2(plane):
@@ -285,7 +314,7 @@ def _decode_scan(data, start, frame, scan_tables, qt, huff_dc, huff_ac,
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
 
-    segments = _entropy_segments(data, start)
+    segments, _end = _entropy_segments(data, start)
     # blocks[ci] collects every 8x8 coefficient block of component ci in
     # MCU decode order; positions are reconstructed vectorized afterwards
     blocks = [np.zeros((n_mcus * ch * cv, 64), dtype=np.int32)
@@ -341,24 +370,31 @@ def _decode_scan(data, start, frame, scan_tables, qt, huff_dc, huff_ac,
         grid = pix.reshape(mcus_y, mcus_x, cv, ch, 8, 8)
         plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(
             mcus_y * cv * 8, mcus_x * ch * 8)
-        # upsample to full MCU-padded resolution.  2x factors use the
-        # libjpeg-style "fancy" triangle filter (what JVM ImageIO and
-        # libjpeg default to) so sharp chroma edges match the reference
-        # decoders; other ratios fall back to sample replication.
-        fy, fx = vmax // cv, hmax // ch
-        if fy == 2 and fx == 2:
-            plane = _fancy_upsample_2x2(plane)
-        else:
-            if fy == 2:
-                plane = _fancy_upsample_1d(plane, axis=0)
-            elif fy > 1:
-                plane = np.repeat(plane, fy, axis=0)
-            if fx == 2:
-                plane = _fancy_upsample_1d(plane, axis=1)
-            elif fx > 1:
-                plane = np.repeat(plane, fx, axis=1)
-        planes.append(plane[:h, :w])
+        planes.append(_upsample_plane(plane, vmax // cv, hmax // ch)[:h, :w])
+    return _emit_pixels(planes, w, h)
 
+
+def _upsample_plane(plane, fy: int, fx: int):
+    """Upsample to full MCU-padded resolution.  2x factors use the
+    libjpeg-style "fancy" triangle filter (what JVM ImageIO and libjpeg
+    default to) so sharp chroma edges match the reference decoders;
+    other ratios fall back to sample replication."""
+    import numpy as np
+    if fy == 2 and fx == 2:
+        return _fancy_upsample_2x2(plane)
+    if fy == 2:
+        plane = _fancy_upsample_1d(plane, axis=0)
+    elif fy > 1:
+        plane = np.repeat(plane, fy, axis=0)
+    if fx == 2:
+        plane = _fancy_upsample_1d(plane, axis=1)
+    elif fx > 1:
+        plane = np.repeat(plane, fx, axis=1)
+    return plane
+
+
+def _emit_pixels(planes, w: int, h: int) -> tuple[int, int, int, bytes]:
+    import numpy as np
     if len(planes) == 1:
         return w, h, 1, planes[0].tobytes()
     y = planes[0].astype(np.float64)
@@ -369,3 +405,173 @@ def _decode_scan(data, start, frame, scan_tables, qt, huff_dc, huff_ac,
                     y + 1.772 * cb], axis=-1)
     rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
+
+
+def _geometry(frame):
+    """Per-component block geometry: MCU-padded grid (interleaved scans)
+    and effective block counts (non-interleaved scans traverse only the
+    blocks covering the component's true sample area, T.81 §A.2.2)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    per_comp = []
+    for (_cid, ch, cv, _tq) in comps:
+        cw = -(-(w * ch) // hmax)       # ceil(w * ch / hmax)
+        chh = -(-(h * cv) // vmax)
+        per_comp.append((mcus_x * ch, mcus_y * cv,      # padded  (bw, bh)
+                         -(-cw // 8), -(-chh // 8)))    # effective (bw, bh)
+    return hmax, vmax, mcus_x, mcus_y, per_comp
+
+
+def _decode_progressive_scan(data, start, frame, geom, coeffs, scan,
+                             huff_dc, huff_ac, restart_interval) -> int:
+    """Decode ONE progressive scan (T.81 §G.2) into the per-component
+    coefficient grids; returns the stream index of the terminating
+    marker.  Four scan species: DC first / DC refine (optionally
+    MCU-interleaved), AC first / AC refine (always single-component,
+    with EOB-run coding)."""
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y, per_comp = geom
+    comp_idx = {c[0]: ci for ci, c in enumerate(comps)}
+    members, ss, se, ah, al = scan
+    if ss > se or se > 63:
+        raise JpegError(f"bad spectral selection {ss}..{se}")
+    if ss > 0 and len(members) != 1:
+        raise JpegError("interleaved AC scan is not legal in progressive")
+    segments, end = _entropy_segments(data, start)
+
+    zz = list(_ZIGZAG)
+    # decode units: interleaved scans step MCUs; single-component scans
+    # step that component's EFFECTIVE block raster
+    if len(members) > 1:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                g = []
+                for (cid, td, ta) in members:
+                    ci = comp_idx[cid]
+                    _, ch, cv, _ = comps[ci]
+                    g.extend((ci, my * cv + by, mx * ch + bx, cid, td, ta)
+                             for by in range(cv) for bx in range(ch))
+                units.append(g)
+    else:
+        cid, td, ta = members[0]
+        ci = comp_idx[cid]
+        _bwp, _bhp, bw_eff, bh_eff = per_comp[ci]
+        units = [[(ci, by, bx, cid, td, ta)]
+                 for by in range(bh_eff) for bx in range(bw_eff)]
+
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    preds = {cid: 0 for cid, _, _ in members}
+    eobrun = 0
+    one = 1 << al
+
+    for u, group in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise JpegError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = {cid: 0 for cid, _, _ in members}
+            eobrun = 0
+        for (ci, by, bx, cid, td, ta) in group:
+            block = coeffs[ci][by, bx]
+            if ss == 0:                          # ---- DC scan
+                if ah == 0:
+                    s = reader.huff(huff_dc[td])
+                    preds[cid] += reader.receive_extend(s)
+                    block[0] = preds[cid] << al
+                elif reader.bits(1):
+                    block[0] |= one
+                continue
+            ac = huff_ac[ta]
+            if ah == 0:                          # ---- AC first pass
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff(ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:               # EOBn: run of ended blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16                  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise JpegError("AC index out of band")
+                        block[zz[k]] = reader.receive_extend(s) << al
+                        k += 1
+                continue
+            # ---- AC refinement pass (T.81 §G.2.3): each previously
+            # nonzero coefficient crossed emits one correction bit; new
+            # coefficients appear with magnitude 1 << al
+            if eobrun > 0:
+                for k in range(ss, se + 1):
+                    idx = zz[k]
+                    if block[idx] and reader.bits(1) \
+                            and not (block[idx] & one):
+                        block[idx] += one if block[idx] > 0 else -one
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        while k <= se:           # refine the tail, done
+                            idx = zz[k]
+                            if block[idx] and reader.bits(1) \
+                                    and not (block[idx] & one):
+                                block[idx] += one if block[idx] > 0 else -one
+                            k += 1
+                        break
+                    # r == 15: sixteen zero-history coefficients
+                elif s == 1:
+                    val = one if reader.bits(1) else -one
+                else:
+                    raise JpegError("bad AC refinement code")
+                while k <= se:                   # cross r zero-history slots
+                    idx = zz[k]
+                    if block[idx]:
+                        if reader.bits(1) and not (block[idx] & one):
+                            block[idx] += one if block[idx] > 0 else -one
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    block[zz[k]] = val
+                k += 1
+    return end
+
+
+def _finish_progressive(frame, geom, coeffs, qt):
+    import numpy as np
+
+    w, h, comps = frame
+    hmax, vmax, _mx, _my, _pc = geom
+    basis = _idct_basis()
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        bh, bw = coeffs[ci].shape[:2]
+        bl = coeffs[ci].reshape(-1, 8, 8).astype(np.float64) * qt[tq]
+        pix = np.einsum("xu,nuv,yv->nxy", basis, bl, basis) + 128.0
+        pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+        plane = pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(bh * 8, bw * 8)
+        planes.append(_upsample_plane(plane, vmax // cv, hmax // ch)[:h, :w])
+    return _emit_pixels(planes, w, h)

@@ -99,18 +99,103 @@ def test_grayscale_roundtrip_via_jvm_encoder(spark):
     assert d.mean() <= 0.5 and d.max() <= 4
 
 
+def _has_sof2(data: bytes) -> bool:
+    import struct
+    i, n = 2, len(data)
+    while i < n - 3:
+        if data[i] != 0xFF:
+            return False
+        while i + 2 < n and data[i + 1] == 0xFF:
+            i += 1
+        m = data[i + 1]
+        if m == 0xC2:
+            return True
+        if m == 0x01 or 0xD0 <= m <= 0xD9:
+            i += 2
+            continue
+        if m == 0xDA:
+            return False
+        i += 2 + struct.unpack(">H", data[i + 2:i + 4])[0]
+    return False
+
+
 @needs_images
-def test_progressive_rejected_loudly():
-    rejected = 0
-    for f in glob.glob(os.path.join(SPARK_IMAGES, "**", "*.jpg"),
-                       recursive=True):
-        data = open(f, "rb").read()
-        try:
-            decode_jpeg(data)
-        except JpegError as e:
-            assert "progressive" in str(e)
-            rejected += 1
-    assert rejected >= 1, "corpus should include a progressive sample"
+def test_progressive_real_sample_matches_imageio(spark):
+    """The mllib corpus ships one real progressive (SOF2) JPEG; our
+    multi-scan decode must match ImageIO within the same rounding gate
+    as baseline."""
+    prog = [f for f in glob.glob(os.path.join(SPARK_IMAGES, "**", "*.jpg"),
+                                 recursive=True)
+            if _has_sof2(open(f, "rb").read())]
+    assert prog, "corpus should include a progressive sample"
+    gt_rows = {os.path.basename(r["origin"]): r
+               for r in image_sources.read_image_files(
+                   spark, SPARK_IMAGES).collect() if r["height"] > 0}
+    checked = 0
+    for f in prog:
+        r = gt_rows.get(os.path.basename(f))
+        if r is None:
+            continue
+        w, h, c, pix = decode_jpeg(open(f, "rb").read())
+        assert (w, h, c) == (r["width"], r["height"], r["nChannels"])
+        mine = np.frombuffer(pix, np.uint8).reshape(h, w, c)
+        gt = np.frombuffer(bytes(r["data"]), np.uint8).reshape(h, w, c)
+        if c == 3:
+            gt = gt[..., ::-1]
+        d = np.abs(mine.astype(int) - gt.astype(int))
+        assert d.mean() <= 0.1 and d.max() <= 3, f"{f}: meanAbs {d.mean()}"
+        checked += 1
+    assert checked >= 1
+
+
+@needs_images
+def test_progressive_reencode_matches_imageio(spark):
+    """Color coverage: re-encode baseline samples as progressive with the
+    JVM ImageIO writer (spectral-selection + successive-approximation
+    scan script, 4:2:0 chroma), then our decode must match ImageIO's own
+    re-decode of the same bytes."""
+    jvm = spark.sparkContext._jvm
+
+    def prog_encode(path):
+        img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        out = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(out)
+        writer.write(None, jvm.javax.imageio.IIOImage(img, None, None),
+                     param)
+        out.flush()
+        return bytes(baos.toByteArray())
+
+    def jvm_decode_rgb(data):
+        img = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(data))
+        w, h = img.getWidth(), img.getHeight()
+        arr = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            a = np.array(img.getRGB(0, y, w, 1, None, 0, w), dtype=np.int64)
+            arr[y, :, 0] = (a >> 16) & 255
+            arr[y, :, 1] = (a >> 8) & 255
+            arr[y, :, 2] = a & 255
+        return arr
+
+    checked = 0
+    for path in sorted(glob.glob(os.path.join(SPARK_IMAGES, "kittens",
+                                              "*.jpg")))[:2]:
+        data = prog_encode(path)
+        assert _has_sof2(data), "JVM writer did not emit SOF2"
+        w, h, c, pix = decode_jpeg(data)
+        assert c == 3
+        mine = np.frombuffer(pix, np.uint8).reshape(h, w, c)
+        gt = jvm_decode_rgb(data)
+        d = np.abs(mine.astype(int) - gt.astype(int))
+        assert d.mean() <= 0.1 and d.max() <= 3, f"{path}: meanAbs {d.mean()}"
+        checked += 1
+    assert checked == 2
 
 
 def test_malformed_rejected():
