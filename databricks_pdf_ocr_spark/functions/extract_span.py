@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import base64
 import binascii
+import hashlib
 import re
 import time
 
@@ -127,6 +128,17 @@ def _extract_once(
                                     None))
                     fallbacks += 1
                 # blank page: parsed but emits nothing
+                # embedded raster images become addressable media spans:
+                # content-addressed refs (sha256 of the extracted payload)
+                # join back to the media_payloads table the --media-payloads
+                # stage materializes from the SAME page_images records —
+                # no index coordination between two parsers needed, and
+                # identical images dedup globally under one ref
+                for rec in pg.images:
+                    if rec.get("payload"):
+                        ref = "pdfimg:" + hashlib.sha256(
+                            rec["payload"]).hexdigest()
+                        outputs.append(("media", None, ref))
             return "success", None, len(pages), fallbacks, outputs
 
         if kind == "image":

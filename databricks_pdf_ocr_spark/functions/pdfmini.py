@@ -60,6 +60,10 @@ class Run:
 class Page:
     runs: list[Run] = field(default_factory=list)
     image_bytes: list[bytes] = field(default_factory=list)  # XObject streams drawn via Do
+    #: embedded raster-image records (``PdfDocument.page_images`` dicts) —
+    #: the SAME records the media_payloads stage extracts, so media_refs
+    #: derived from their payload hashes join back by construction
+    images: list[dict] = field(default_factory=list)
 
 
 # ===========================================================================
@@ -887,7 +891,8 @@ def parse_pdf(data: bytes) -> list[Page]:
         runs, do_names = parse_content(content, doc.font_cmaps(pg))
         xobs = doc.xobject_streams(pg)
         imgs = [xobs[n] for n in do_names if n in xobs]
-        pages.append(Page(runs=runs, image_bytes=imgs))
+        pages.append(Page(runs=runs, image_bytes=imgs,
+                          images=doc.page_images(pg)))
     return pages
 
 

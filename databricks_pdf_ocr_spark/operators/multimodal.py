@@ -7,10 +7,10 @@ Arrow-batched ``mapInPandas`` stages.
 
 This container has no imaging/audio libraries, so the engine carries its
 own pure-stdlib+numpy codecs for the formats that matter on the document
-hot path: PNG (``functions/pngmini.py``) and baseline JPEG
+hot path: PNG (``functions/pngmini.py``) and baseline + progressive JPEG
 (``functions/jpegmini.py``, validated against the JVM ImageIO ground
 truth of ``spark.read.format("image")``).  The remaining codecs
-(WebP/video/progressive-JPEG) stay behind a loudly-stubbed boundary with
+(WebP/video) stay behind a loudly-stubbed boundary with
 a clearly-marked deterministic fake — keyed on the payload bytes, so
 tests and goldens are stable.  Everything Spark-side is real and tested:
 schemas, Arrow batch shapes, partition behavior, metadata structs.
@@ -47,11 +47,11 @@ EMBED_DIM = 16
 def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     """The real codec slot.  PNG is fully implemented in pure stdlib
     (``functions/pngmini.py`` — zlib inflate + per-row unfilter) and
-    baseline JPEG in stdlib+numpy (``functions/jpegmini.py`` — huffman +
-    batched IDCT, ImageIO-validated), so both decode for real; the
-    remaining codecs (WebP/video, progressive JPEG) need imaging
-    libraries this container doesn't have — deliberately loud so nobody
-    mistakes the fake for them."""
+    baseline + progressive JPEG in stdlib+numpy (``functions/jpegmini.py``
+    — huffman + batched IDCT + multi-scan coefficient accumulation,
+    ImageIO-validated), so both decode for real; the remaining codecs
+    (WebP/video) need imaging libraries this container doesn't have —
+    deliberately loud so nobody mistakes the fake for them."""
     from ..functions import jpegmini, pngmini
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
@@ -284,6 +284,99 @@ def pdf_images(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=PDF_IMAGE_DDL)
+
+
+#: rows of the media_payloads table (one per embedded image per pdf span)
+MEDIA_PAYLOAD_DDL = (
+    "media_ref string, doc_id string, offset int, page_idx int, "
+    "image_idx int, format string, width int, height int, content binary, "
+    "extract_ok boolean, error_message string"
+)
+
+
+def pdf_span_images(df: DataFrame, id_col: str = "doc_id",
+                    offset_col: str = "offset", b64_col: str = "text",
+                    max_pages: int | None = None,
+                    max_payload_bytes: int | None = None) -> DataFrame:
+    """base64 pdf SPANS → one payload row per embedded raster image,
+    keyed by the content-addressed ``media_ref`` the extraction kernel
+    stamps on its media spans (``functions/extract_span.py`` pdf branch):
+    ``"pdfimg:" + sha256(payload)``.  Both sides derive the ref from the
+    SAME ``PdfDocument.page_images`` records, so the join-back holds by
+    construction; identical images across documents share one ref and
+    dedup globally on read.
+
+    Guards mirror the extraction kernel (b64 tolerance, size cap, page
+    truncation) so the payload table covers exactly the images the
+    extraction results reference.  Unparseable spans become one
+    ``extract_ok=false`` row — the pipeline-continues error contract.
+
+    Plan shape: narrow ``mapInPandas`` with in-batch page/image fan-out;
+    payload bytes never shuffle.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+        import re as _re
+
+        from ..functions import pdfmini
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_ref", "doc_id", "offset",
+                                   "page_idx", "image_idx", "format",
+                                   "width", "height", "content",
+                                   "extract_ok", "error_message")}
+
+            def emit(ref, did, off, pi, ii, fmt, w, h, payload, ok, err):
+                out["media_ref"].append(ref)
+                out["doc_id"].append(did)
+                out["offset"].append(off)
+                out["page_idx"].append(pi)
+                out["image_idx"].append(ii)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["content"].append(payload)
+                out["extract_ok"].append(ok)
+                out["error_message"].append(err)
+
+            for did, off, b64 in zip(pdf[id_col], pdf[offset_col],
+                                     pdf[b64_col]):
+                off = int(off)
+                try:
+                    raw = base64.b64decode(_re.sub(r"\s+", "", b64 or ""),
+                                           validate=True)
+                    if max_payload_bytes and len(raw) > max_payload_bytes:
+                        raise ValueError(
+                            f"payload exceeds max size ({len(raw)})")
+                    doc = pdfmini.PdfDocument(raw)
+                    pages = doc.pages()
+                    if max_pages:
+                        pages = pages[:max_pages]
+                    for pi, page in enumerate(pages):
+                        for ii, rec in enumerate(doc.page_images(page)):
+                            payload = rec["payload"]
+                            if not payload:
+                                continue
+                            ref = "pdfimg:" + hashlib.sha256(
+                                payload).hexdigest()
+                            emit(ref, did, off, pi, ii, rec["format"],
+                                 rec["width"], rec["height"], payload,
+                                 rec["error"] is None, rec["error"])
+                except Exception as e:  # bad b64 / corrupt pdf → error row
+                    emit(None, did, off, -1, -1, None, 0, 0, None, False,
+                         f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=MEDIA_PAYLOAD_DDL)
+
+
+def dedup_payloads(payloads: DataFrame) -> DataFrame:
+    """Dedup-on-read for the media_payloads table: refs are
+    content-addressed (sha256 of the payload), so duplicate rows — crash
+    reruns of an unmarked bucket, or the same image embedded in many
+    documents — are byte-identical per ref; keep either.  Same hash-agg
+    shape as ``operators.extract.dedup_results``."""
+    return payloads.dropDuplicates(["media_ref"])
 
 
 def frame_sample(df: DataFrame, content_col: str = "content",

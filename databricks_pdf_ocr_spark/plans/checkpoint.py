@@ -122,6 +122,41 @@ class CheckpointManager:
                   .orderBy(F.desc("run_timestamp"))
                   .limit(k))
 
+    def compact(self) -> dict:
+        """Rewrite the append-only lineage log to a latest-wins snapshot:
+        one row per ``(input_fingerprint, bucket)`` — the highest
+        ``run_seq`` mark (VERDICT r3 #6).
+
+        The log grows runs × n_buckets rows forever; ``next_run_seq`` and
+        ``all_marked_buckets`` scan it every run, so a years-running
+        deployment compacts periodically (``jobs/status.py
+        --compact-checkpoint``).  Every reader's contract survives: done
+        buckets per fingerprint, the distinct-marked-bucket set, the
+        global max run_seq (its row is by definition the latest for its
+        own key), and the newest config per fingerprint all live in the
+        kept rows.  What compaction drops is superseded runs' HISTORY —
+        ``run_history`` afterwards shows only surviving marks.
+
+        Commit: the snapshot is fully written to a staging table first,
+        then swapped in (``TableIO.replace_table`` — directory-rename hop
+        for parquet, catalog-atomic createOrReplace for Iceberg).
+        """
+        from .state_views import latest_per_key
+
+        cp = self._read_checkpoint()
+        if cp is None:
+            return {"rows_before": 0, "rows_after": 0}
+        rows_before = cp.count()
+        snap = latest_per_key(
+            cp, ["input_fingerprint", "bucket"],
+            [F.desc("run_seq"), F.desc("updated_at"), F.desc("run_id")])
+        staging = CHECKPOINT_TABLE + "__compacting"
+        self.io.drop(staging)
+        self.io.overwrite(snap, staging)      # materialized BEFORE the swap
+        rows_after = self.io.read(staging, schema=CHECKPOINT_SCHEMA).count()
+        self.io.replace_table(staging, CHECKPOINT_TABLE)
+        return {"rows_before": int(rows_before), "rows_after": int(rows_after)}
+
     # -- write side --------------------------------------------------------
 
     def mark_from_results(self, results: DataFrame, run_id: str,
@@ -177,4 +212,33 @@ class CheckpointManager:
             "config_json": self.cfg.to_json(),
             "updated_at": now,
         } for r in metrics.collect()]   # ≤ n_buckets control-plane rows
+        self.io.append_rows(rows, CHECKPOINT_TABLE, CHECKPOINT_SCHEMA)
+
+    def mark_buckets(self, bucket_metrics: list[dict], run_id: str,
+                     input_fingerprint: str, duration_ms: int,
+                     run_seq: int | None = None) -> None:
+        """Append 'done' lineage rows from driver-computed per-bucket
+        metric dicts (``{"bucket": int, ...CHECKPOINT metric fields}``,
+        missing metrics default 0) — for stages whose metrics don't come
+        results-shaped, e.g. the media-payloads stage.  Same write-then-
+        mark contract: callers commit the stage's data FIRST."""
+        if not bucket_metrics:
+            return
+        if run_seq is None:
+            run_seq = self.next_run_seq()
+        from datetime import datetime, timezone
+        now = datetime.now(timezone.utc)
+        zero = ("docs_done", "spans_in", "pages_parsed", "ocr_fallbacks",
+                "span_count", "failed_spans")
+        rows = [{
+            "run_id": run_id,
+            "run_seq": int(run_seq),
+            "input_fingerprint": input_fingerprint,
+            "bucket": int(m["bucket"]),
+            "status": "done",
+            **{k: int(m.get(k, 0) or 0) for k in zero},
+            "duration_ms": int(duration_ms),
+            "config_json": self.cfg.to_json(),
+            "updated_at": now,
+        } for m in bucket_metrics]
         self.io.append_rows(rows, CHECKPOINT_TABLE, CHECKPOINT_SCHEMA)

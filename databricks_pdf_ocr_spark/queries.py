@@ -1004,6 +1004,78 @@ def pdf_images_e2e(spark, sf_dir):
         "extract_ok", "error_message")
 
 
+@register("media_payloads_e2e", """
+SELECT 'pdfimg:' || content_sha AS media_ref, doc_id, page_idx, image_idx,
+       format, width, height, content_len, content_sha, extract_ok,
+       error_message
+FROM read_parquet('/root/repo/tests/data/golden_pdf_images.parquet')
+""")
+def media_payloads_e2e(spark, sf_dir):
+    """The media_payloads table-building kernel end-to-end: the same
+    deterministic PDF corpus as ``pdf_images_e2e``, wrapped as base64 pdf
+    SPANS (the shape the extraction job feeds it), through
+    ``pdf_span_images`` → payload rows keyed by content-addressed
+    ``media_ref``.
+
+    Oracle: the committed no-Spark golden, with the ref DERIVED
+    independently as ``'pdfimg:' || sha256(payload)`` — hash-comparing
+    proves the kernel's ref convention matches the one the extraction
+    kernel stamps on media spans (the join-back key)."""
+    import base64 as _b64
+
+    from .fixtures import pdf_corpus_rows
+    from .operators.multimodal import pdf_span_images
+
+    rows = [(did, 0, _b64.b64encode(pdf).decode())
+            for did, pdf in pdf_corpus_rows(seed=42, n_docs=40)]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, offset int, text string").repartition(8)
+    pay = pdf_span_images(spans)
+    return pay.select(
+        "media_ref", "doc_id", "page_idx", "image_idx", "format", "width",
+        "height",
+        F.length("content").cast("bigint").alias("content_len"),
+        F.sha2("content", 256).alias("content_sha"),
+        "extract_ok", "error_message")
+
+
+@register("media_refs_resolve", """
+SELECT CAST(count(*) AS BIGINT) AS n_media_spans,
+       CAST(0 AS BIGINT) AS n_unresolved
+FROM read_parquet('/root/repo/tests/data/golden_extract_e2e.parquet')
+WHERE kind = 'media' AND media_ref LIKE 'pdfimg:%'
+""")
+def media_refs_resolve(spark, sf_dir):
+    """Join-back gate (VERDICT r3 #5): every embedded-image media span
+    the distributed extraction emits must resolve against the
+    media_payloads built from the same corpus — zero dangling refs, with
+    the span count itself hash-checked against the extraction golden."""
+    from . import fixtures
+    from .config import ExtractConfig
+    from .operators.extract import run_extraction
+    from .operators.multimodal import dedup_payloads, pdf_span_images
+
+    cfg = ExtractConfig(n_buckets=16, shuffle_partitions=8)
+    docs = fixtures.fixture_df(spark, seed=42, n_docs=80,
+                               profile=fixtures.TINY, n_partitions=8)
+    media = (run_extraction(docs, cfg)
+             .filter((F.col("status") == "success")
+                     & (F.col("kind") == "media")
+                     & F.col("media_ref").startswith("pdfimg:"))
+             .select("media_ref"))
+    pdf_spans = (docs.select("doc_id", F.explode("spans").alias("s"))
+                 .filter(F.col("s.kind") == "pdf")
+                 .select("doc_id", F.col("s.offset").alias("offset"),
+                         F.col("s.text").alias("text")))
+    refs = dedup_payloads(pdf_span_images(
+        pdf_spans, max_pages=cfg.max_pages_per_doc,
+        max_payload_bytes=cfg.max_payload_bytes)).select("media_ref")
+    unresolved = media.join(refs, "media_ref", "left_anti")
+    return (media.agg(F.count(F.lit(1)).cast("long").alias("n_media_spans"))
+            .crossJoin(unresolved.agg(
+                F.count(F.lit(1)).cast("long").alias("n_unresolved"))))
+
+
 _CURATE_QTHR = 450_000          # quality gate (micro-units), ~75th pct pass
 _CURATE_SAMPLE = {"en": 60}     # keep-%, non-listed langs take the default
 _CURATE_DEFAULT = 40

@@ -164,6 +164,20 @@ class TableIO:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
+    def replace_table(self, src: str, dst: str) -> None:
+        """Swap a fully-written table over an existing one (compaction
+        commit step).  Parquet backend: two directory renames with a
+        ``.bak`` hop — a crash between them leaves either the original or
+        a recoverable ``<dst>.bak``, never a half-written mix (the src
+        snapshot is written COMPLETELY before this is called)."""
+        p_src, p_dst = self.path(src), self.path(dst)
+        bak = p_dst + ".bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.isdir(p_dst):
+            os.rename(p_dst, bak)
+        os.rename(p_src, p_dst)
+        shutil.rmtree(bak, ignore_errors=True)
+
 
 class IcebergTableIO(TableIO):
     """Iceberg-backed variant (same API) for clusters with the runtime jar.
@@ -225,6 +239,13 @@ class IcebergTableIO(TableIO):
 
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+
+    def replace_table(self, src: str, dst: str) -> None:
+        # catalog-atomic: createOrReplace commits the swap in one
+        # metadata transaction, then the staging table is dropped
+        self.spark.table(self.path(src)).writeTo(self.path(dst)) \
+            .createOrReplace()
+        self.drop(src)
 
 
 def make_table_io(spark: SparkSession, base_path: str) -> TableIO:

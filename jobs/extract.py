@@ -50,6 +50,90 @@ from databricks_pdf_ocr_spark.sources.tables import make_table_io
 
 RESULTS_TABLE = "extraction_results"
 EXTRACTED_TABLE = "extracted_documents"
+MEDIA_TABLE = "media_payloads"
+
+
+def run_media_stage(io, cp, documents, fingerprint: str, cfg,
+                    mode: str, doc_ids=(), run_seq: int | None = None,
+                    fail_after_buckets: int | None = None) -> dict:
+    """Materialize the bucket-partitioned ``media_payloads`` table: every
+    embedded raster image of every pending pdf span, keyed by the
+    content-addressed ``media_ref`` the extraction kernel stamps on its
+    media spans (VERDICT r3 #5; reference analogue: every page flows
+    through ``pdf_to_images``, processors/ocr.py:100).
+
+    Resumable via the same checkpoint lineage under its OWN fingerprint
+    (``<input>#media``): write payloads → mark buckets; a crash between
+    the two re-extracts the bucket and the byte-identical rows (refs are
+    payload hashes) dedup on read (``multimodal.dedup_payloads``)."""
+    from databricks_pdf_ocr_spark.operators.multimodal import pdf_span_images
+
+    fp = fingerprint + "#media"
+    t0 = time.time()
+    if mode == "reprocess_all":
+        pending = documents.withColumn("bucket", bucket_col(cfg.n_buckets))
+    elif mode == "reprocess_specific":
+        pending = (documents.filter(F.col("doc_id").isin(list(doc_ids)))
+                   .withColumn("bucket", bucket_col(cfg.n_buckets)))
+    else:
+        pending = cp.filter_pending(documents, fp)
+    if fail_after_buckets is not None:
+        keep = (pending.select("bucket").distinct()
+                .orderBy("bucket").limit(fail_after_buckets))
+        pending = pending.join(F.broadcast(keep), "bucket", "left_semi")
+
+    # per-bucket doc/span counts BEFORE the fan-out (1 row per doc)
+    doc_rows = (pending.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.filter(F.col("spans"),
+                              lambda s: s["kind"] == "pdf")))
+        .alias("pdf_spans")).collect())     # ≤ n_buckets control-plane rows
+    pend_list = sorted(r["bucket"] for r in doc_rows)
+    if not pend_list:
+        return {"media_buckets": 0, "media_images": 0, "media_errors": 0}
+
+    run_id = new_run_id()
+    if run_seq is None:
+        run_seq = cp.next_run_seq()
+    spans = (pending
+             .select("doc_id", F.explode("spans").alias("s"))
+             .filter(F.col("s.kind") == "pdf")
+             .select("doc_id", F.col("s.offset").alias("offset"),
+                     F.col("s.text").alias("text")))
+    payloads = (pdf_span_images(spans, max_pages=cfg.max_pages_per_doc,
+                                max_payload_bytes=cfg.max_payload_bytes)
+                .withColumn("bucket", bucket_col(cfg.n_buckets))
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("run_seq", F.lit(run_seq).cast("long"))
+                .withColumn("processed_at", F.current_timestamp())
+                .repartition(cfg.n_buckets, "bucket"))
+    # WRITE payloads (one file per touched bucket per run) ...
+    io.append(payloads, MEDIA_TABLE, partition_by=["bucket"])
+    # ... THEN MARK.  Pruned re-scan: partition isin + run_id filter,
+    # column-pruned to the two metric columns.
+    pay = (io.read(MEDIA_TABLE,
+                   schema="run_id string, extract_ok boolean, bucket int")
+           .filter(F.col("bucket").isin(pend_list))
+           .filter(F.col("run_id") == run_id))
+    img_rows = {r["bucket"]: r for r in pay.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("images"),
+        F.sum((~F.col("extract_ok")).cast("long")).alias("errors"))
+        .collect()}                          # ≤ n_buckets control-plane rows
+    metrics = []
+    for r in doc_rows:
+        img = img_rows.get(r["bucket"])
+        metrics.append({
+            "bucket": r["bucket"],
+            "docs_done": r["docs"],
+            "spans_in": r["pdf_spans"],
+            "span_count": img["images"] if img else 0,
+            "failed_spans": img["errors"] if img else 0,
+        })
+    cp.mark_buckets(metrics, run_id, fp, int((time.time() - t0) * 1000),
+                    run_seq=run_seq)
+    return {"media_buckets": len(pend_list),
+            "media_images": int(sum(m["span_count"] for m in metrics)),
+            "media_errors": int(sum(m["failed_spans"] for m in metrics))}
 
 
 def load_input(spark, spec: str, cfg: ExtractConfig):
@@ -104,6 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--salt", action="store_true",
                     help="span-level salted repartition before extraction "
                          "(for inputs where single docs rival a whole split)")
+    ap.add_argument("--media-payloads", action="store_true",
+                    help="also materialize the media_payloads table "
+                         "(embedded pdf raster images keyed by the "
+                         "content-addressed media_ref the extraction "
+                         "results reference), resumable under its own "
+                         "checkpoint lineage fingerprint")
     ap.add_argument("--cache-results", action="store_true",
                     help="persist results across write→mark (skips the "
                          "lineage read-back; for runs that fit executor "
@@ -236,6 +326,11 @@ def run_job(spark, args) -> tuple[dict, int]:
           file=sys.stderr)
 
     stats = {"run_id": run_id, "fingerprint": fingerprint}
+    if args.media_payloads:
+        stats.update(run_media_stage(
+            io, cp, documents, fingerprint, cfg, args.mode,
+            doc_ids=cfg.specific_doc_ids,
+            fail_after_buckets=args.fail_after_buckets))
     if args.fail_after_buckets is not None:
         stats["simulated_crash"] = True
         return stats, 3
@@ -290,9 +385,12 @@ def run_job(spark, args) -> tuple[dict, int]:
         io.overwrite_partitions(assembled, EXTRACTED_TABLE, ["bucket"])
         stats["docs_assembled"] = obs_asm.get["docs"]
 
-    hist = cp.run_history(1).collect()
+    # THIS run's lineage metrics (run_history(1) alone would return the
+    # media stage's run when --media-payloads marked later)
+    hist = [h for h in (r.asDict() for r in cp.run_history(5).collect())
+            if h["run_id"] == run_id]
     if hist:
-        h = hist[0].asDict()
+        h = hist[0]
         stats.update({k: h[k] for k in
                       ("docs_done", "pages_parsed", "ocr_fallbacks",
                        "span_count", "failed_spans")})

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--input", help="existing (doc_id, spans) parquet input")
     ap.add_argument("--tables", required=True)
     ap.add_argument("--mode", default="incremental")
+    ap.add_argument("--media-payloads", action="store_true",
+                    help="also materialize the media_payloads table")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="pipeline")
@@ -54,7 +56,9 @@ def main(argv=None) -> int:
     spark.stop()  # extract job builds its own session/config
 
     rc = extract_job.main(["--input", input_path, "--tables", args.tables,
-                           "--mode", args.mode])
+                           "--mode", args.mode]
+                          + (["--media-payloads"] if args.media_payloads
+                             else []))
     print(json.dumps({"pipeline": "done", "rc": rc}))
     return rc
 

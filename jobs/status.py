@@ -21,13 +21,21 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tables", required=True)
     ap.add_argument("--limit", type=int, default=10)
+    ap.add_argument("--compact-checkpoint", action="store_true",
+                    help="maintenance: rewrite the append-only lineage log "
+                         "to its latest-wins snapshot (one row per "
+                         "fingerprint+bucket); resume behavior unchanged, "
+                         "superseded runs drop out of run history")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="status")
     io = make_table_io(spark, args.tables)
     cp = CheckpointManager(io, ExtractConfig())
 
-    out = {"runs": [r.asDict() for r in cp.run_history(args.limit).collect()]}
+    out = {}
+    if args.compact_checkpoint:
+        out["compaction"] = cp.compact()
+    out["runs"] = [r.asDict() for r in cp.run_history(args.limit).collect()]
     for t in ("extraction_results", "extracted_documents"):
         df = io.read(t)
         out[t] = {"rows": df.count()} if df is not None else None

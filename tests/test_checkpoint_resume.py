@@ -144,3 +144,35 @@ def test_next_run_seq_survives_mixed_schema_table(env, tmp_tables):
     # Spark would have sampled
     assert cp.next_run_seq() == 2
     assert cp.all_marked_buckets() >= {0}
+
+
+def test_compaction_preserves_resume_and_bounds_rows(env, tmp_tables):
+    """VERDICT r3 #6: compacting the append-only lineage log to its
+    latest-wins snapshot must not change resume behavior, and must bound
+    the table at one row per (fingerprint, bucket)."""
+    io, cp, rows, df = env
+    # two full runs + a second fingerprint → runs x buckets rows
+    _process(io, cp, cp.filter_pending(df, FP), "r1")
+    results = io.read("extraction_results")
+    cp.mark_from_results(dedup_results(results), new_run_id(), FP, 1)
+    cp.mark_from_results(dedup_results(results), new_run_id(), FP + "-b", 1)
+
+    before_seq = cp.next_run_seq()
+    before_done = {r["bucket"] for r in cp.done_buckets(FP).collect()}
+    before_marked = cp.all_marked_buckets()
+    n_keys = (io.read(CHECKPOINT_TABLE)
+              .select("input_fingerprint", "bucket").distinct().count())
+
+    out = cp.compact()
+    assert out["rows_before"] > out["rows_after"] == n_keys  # bounded
+
+    assert cp.next_run_seq() == before_seq
+    assert {r["bucket"] for r in cp.done_buckets(FP).collect()} == before_done
+    assert cp.all_marked_buckets() == before_marked
+    # a resume run still sees nothing pending for the compacted lineage
+    assert cp.filter_pending(df, FP).count() == 0
+    # and the physical file count collapsed too (not just row count)
+    import glob
+    import os
+    files = glob.glob(os.path.join(tmp_tables, CHECKPOINT_TABLE, "*.parquet"))
+    assert len(files) <= 8

@@ -180,3 +180,47 @@ def test_observed_mark_equals_readback_mark(spark, tmp_path, rows):
     df = spark.read.parquet(f"{fast_t}/extraction_checkpoint")
     assert df.schema["run_seq"].dataType.simpleString() == "bigint"
     assert df.filter(F.col("updated_at").isNull()).count() == 0
+
+
+def _media_dict(spark, tables):
+    from databricks_pdf_ocr_spark.operators.multimodal import dedup_payloads
+    df = dedup_payloads(spark.read.parquet(f"{tables}/media_payloads"))
+    return {r["media_ref"]: (r["format"], r["width"], r["height"],
+                             bytes(r["content"]) if r["content"] else None)
+            for r in df.collect() if r["media_ref"]}
+
+
+def test_media_payloads_crash_resume_and_joinback(spark, tmp_path, rows):
+    """VERDICT r3 #5: the media_payloads stage is resumable under its own
+    lineage fingerprint, crash+resume converges to the single-run table,
+    and every pdfimg media_ref in the extraction results resolves."""
+    inp = _write_input(spark, tmp_path, rows, "in_media")
+
+    # single clean run (reference table)
+    t1 = str(tmp_path / "t_single")
+    stats, rc = _run(spark, inp, t1, "--media-payloads")
+    assert rc == 0 and stats["media_buckets"] == 8
+    single = _media_dict(spark, t1)
+    assert single, "corpus should contain embedded pdf images"
+
+    # crashed run (2 of 8 buckets) then resume
+    t2 = str(tmp_path / "t_crash")
+    stats2, rc2 = _run(spark, inp, t2, "--media-payloads",
+                       "--fail-after-buckets", "2")
+    assert rc2 == 3 and stats2["media_buckets"] == 2
+    stats3, rc3 = _run(spark, inp, t2, "--media-payloads")
+    assert rc3 == 0 and stats3["media_buckets"] == 6   # only the rest
+    assert _media_dict(spark, t2) == single
+
+    # idempotent rerun: nothing pending, no new rows
+    n_before = spark.read.parquet(f"{t2}/media_payloads").count()
+    stats4, rc4 = _run(spark, inp, t2, "--media-payloads")
+    assert rc4 == 0 and stats4["media_buckets"] == 0
+    assert spark.read.parquet(f"{t2}/media_payloads").count() == n_before
+
+    # join-back: every pdfimg ref in results resolves in media_payloads
+    res = spark.read.parquet(f"{t2}/{RESULTS_TABLE}")
+    refs = {r["media_ref"] for r in
+            res.filter(F.col("media_ref").startswith("pdfimg:"))
+               .select("media_ref").distinct().collect()}
+    assert refs and refs <= set(single)

@@ -165,8 +165,11 @@ def test_extract_span_pdf_fanout():
     s, e, pages, fb, out = extract_span("pdf", payload, None,
                                         max_payload_bytes=10**6, max_pages=10)
     assert s == "success" and pages == 3 and fb == 1
-    assert [o[0] for o in out] == ["text", "text", "text"]
-    assert out[0][1] == "p1" and out[1][1].startswith("[ocr] ") and out[2][1] == "p3"
+    # the image page yields its OCR-fallback text AND an addressable
+    # media span whose content-addressed ref joins back to media_payloads
+    assert [o[0] for o in out] == ["text", "text", "media", "text"]
+    assert out[0][1] == "p1" and out[1][1].startswith("[ocr] ") and out[3][1] == "p3"
+    assert out[2][2].startswith("pdfimg:") and len(out[2][2]) == 7 + 64
 
 
 def test_extract_span_error_paths():

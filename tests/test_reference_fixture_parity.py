@@ -35,8 +35,12 @@ def test_reference_sample_pdf_end_to_end(spark):
     assembled = reassemble(run_extraction(docs, cfg)).collect()
     assert len(assembled) == 1
     spans = assembled[0]["spans"]
-    assert len(spans) == 4, "one text span per page, in page order"
-    texts = [s["text"] for s in spans]
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    media = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    assert len(texts) == 4, "one text span per page, in page order"
+    # the sample's embedded raster images surface as addressable media
+    # spans (content-addressed refs into the media_payloads table)
+    assert media and all(m.startswith("pdfimg:") for m in media)
     # page-order invariant (reference: page_number 1-based document order)
     for i, t in enumerate(texts):
         assert f"Page {i + 1} of 4" in t
