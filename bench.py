@@ -130,6 +130,37 @@ def main() -> int:
     timings["extract_pipeline"] = extract_sec
     docs_per_sec = round(extracted / extract_sec, 2)
 
+    # curation stage (the 100 TB post-extraction stage — VERDICT r3 #7):
+    # the REAL jobs/curate.py ladder (fused features → exact dedup →
+    # verified LSH near-dup → stratified sample → partitioned write) in
+    # production hash mode, fed from the just-extracted corpus.  Table
+    # materialization is input setup, not curation — untimed.
+    import shutil
+
+    from databricks_pdf_ocr_spark.operators.extract import bucket_col
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+    from jobs.curate import build_parser as curate_parser, run_curate
+
+    curate_tables = f"/tmp/spark_graft_bench_curate_{BENCH_SEED}_{n_docs}"
+    shutil.rmtree(curate_tables, ignore_errors=True)
+    TableIO(spark, curate_tables).overwrite(
+        assembled.withColumn("bucket", bucket_col(cfg.n_buckets)),
+        "extracted_documents", partition_by=["bucket"])
+    cargs = curate_parser().parse_args(
+        ["--tables", curate_tables, "--out", f"{curate_tables}/curated",
+         "--min-quality", "450000", "--sample", "en=60,*=40"])
+    best, curated = None, 0
+    for _ in range(2):                    # best-of-2, like every phase
+        t0 = time.time()
+        cstats = run_curate(spark, cargs)
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best, curated = dt, int(cstats["docs"])
+    timings["curate_job"] = round(best, 3)
+    curate_docs_per_sec = round(extracted / best, 2)
+    print(f"# curate_job: {curated} docs kept of {extracted} in "
+          f"{timings['curate_job']}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "bench_total_sec",
@@ -139,6 +170,8 @@ def main() -> int:
         "sf": sf,
         "extract_docs": extracted,
         "docs_per_sec": docs_per_sec,
+        "curate_docs": curated,
+        "curate_docs_per_sec": curate_docs_per_sec,
         "cpus": cpus,
     }))
     spark.stop()

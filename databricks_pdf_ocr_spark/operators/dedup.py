@@ -44,18 +44,34 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.lower(F.col(text_col)), " ")
 
 
-def shingles_col(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (empty when < n tokens).
+def shingles_of(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array.
 
     Guarded: Spark's ``sequence(1, 0)`` auto-steps backwards instead of
     yielding an empty array, so short docs take the explicit empty branch.
+
+    SCALE-CRITICAL: ``tokens`` must be a projected attribute (see
+    :func:`shingled`), never the inline ``split(lower(text))`` expression
+    — expressions referenced inside a higher-order-function lambda body
+    are re-evaluated PER ELEMENT, turning shingling O(tokens² · len) per
+    document.  Measured on the 2 k-doc bench corpus (~300 tokens/doc):
+    inlined 86 s vs materialized 0.7 s for the same logical result.
     """
-    toks = tokens_col(text_col)
     return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        F.size(tokens) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tokens, i, n))),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3, out: str = "shingles") -> DataFrame:
+    """(id, ``out``: array<string>) with the token array materialized in
+    its own projection so the shingle lambda slices an attribute — the
+    linear-cost shape every shingle consumer must use."""
+    return (df.select(F.col(id_col).alias("id"),
+                      tokens_col(text_col).alias("__toks"))
+            .select("id", shingles_of(F.col("__toks"), n).alias(out)))
 
 
 # ---------------------------------------------------------------------------
@@ -91,9 +107,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     join per-doc shingle counts (broadcast — it's |docs| rows of 2 ints) →
     |A∩B| / (|A|+|B|-|A∩B|).  Emits (doc_a < doc_b, jaccard).
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles_col(text_col, n)).alias("shingle"))
-            .distinct())
+    sh = (shingled(df, id_col, text_col, n)
+          .select("id", F.explode("shingles").alias("shingle"))
+          .distinct())
     sizes = sh.groupBy("id").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,28 +136,6 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-
-def minhash_signature(text_col: str = "text", n: int = 3,
-                      k: int = 8) -> list[Column]:
-    """k min-hash values: min_lex(sha2(f"{seed}:{shingle}")) per seed.
-
-    Lexicographic min over hex digests is a valid min-hash family (each
-    seed defines an independent uniform permutation-ish ordering) and is
-    reproducible in any engine with sha256 — no Murmur/xxhash parity issues.
-    """
-    sh = shingles_col(text_col, n)
-
-    def hasher(seed: int):
-        prefix = f"{seed}:"
-        # single-arg lambda on purpose: a two-parameter lambda (even with a
-        # default) makes F.transform pass the element INDEX as the 2nd arg
-        return lambda x: F.sha2(F.concat(F.lit(prefix), x), 256)
-
-    return [
-        F.array_min(F.transform(sh, hasher(s))).alias(f"mh{s}")
-        for s in range(k)
-    ]
-
 
 def _minhash_signatures_fast(df: DataFrame, id_col: str, text_col: str,
                              n: int, k: int) -> DataFrame:
@@ -243,8 +237,8 @@ def minhash_signatures_df(df: DataFrame, id_col: str = "doc_id",
     if hash_mode == "xxhash64":
         return _minhash_signatures_fast(df, id_col, text_col, n, k)
 
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(shingles_col(text_col, n)).alias("s"))
+    sh = (shingled(df, id_col, text_col, n)
+          .select("id", F.explode("shingles").alias("s")))
     hashed = sh.select("id", *[
         F.sha2(F.concat(F.lit(f"{s}:"), F.col("s")), 256).alias(f"h{s}")
         for s in range(k)
@@ -270,8 +264,9 @@ def verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
     Emits (``pairs``' columns, jaccard) for pairs with jaccard ≥ threshold.
     """
-    sh = df.select(F.col(id_col).alias("__vid"),
-                   F.array_distinct(shingles_col(text_col, n)).alias("__sh"))
+    sh = (shingled(df, id_col, text_col, n)
+          .select(F.col("id").alias("__vid"),
+                  F.array_distinct("shingles").alias("__sh")))
     j = (pairs
          .join(sh.select(F.col("__vid").alias("doc_a"),
                          F.col("__sh").alias("__sha")), "doc_a")

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import shingles_col, tokens_col
+from .dedup import shingles_of, tokens_col
 
 # n-gram-heuristic language ID: marker-token hit counts per language.
 # Deterministic argmax with lexicographic tie-break on the language code.
@@ -183,6 +183,12 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
     Robust to small edits (only windows overlapping the edit change) —
     the rolling-hash fingerprint used for fuzzy containment detection.
     """
-    hashes = F.transform(shingles_col(text_col, n), lambda s: F.sha2(s, 256))
+    # tokens materialized in their own projection: the shingle lambda must
+    # slice an attribute, not re-evaluate split(lower(text)) per element
+    # (O(tokens²·len) otherwise — see dedup.shingles_of)
+    staged = df.select(F.col(id_col),
+                       tokens_col(text_col).alias("__toks"))
+    hashes = F.transform(shingles_of(F.col("__toks"), n),
+                         lambda s: F.sha2(s, 256))
     fp = F.concat_ws("", F.slice(F.array_sort(hashes), 1, keep))
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return staged.select(F.col(id_col), fp.alias("fingerprint"))
