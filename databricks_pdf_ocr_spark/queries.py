@@ -415,6 +415,58 @@ def revenue_percentiles(spark, sf_dir):
                  F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90")))
 
 
+# Sketch aggregates — the 100 TB replacements for exact count-distinct
+# (a full Expand+shuffle of every row) and exact percentile (a full sort):
+# HyperLogLog++ and a quantile sketch, each gated the way the ANN recall
+# oracles are — the sketch estimate must sit within its error bound of
+# the exact answer, hash-compared against a constant oracle row so a
+# sketch regression fails the driver gate.
+
+@register("approx_distinct_gate", """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BOOLEAN) AS within_bounds
+FROM orders
+""")
+def approx_distinct_gate(spark, sf_dir):
+    """HyperLogLog++ distinct count (`approx_count_distinct`, rsd=2%)
+    must land within 5% of the exact count — at scale the sketch is a
+    fixed-size accumulator vs count-distinct's per-row Expand pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.agg(F.countDistinct("o_custkey").cast("long")
+                  .alias("exact_distinct"),
+                  F.approx_count_distinct("o_custkey", rsd=0.02)
+                  .alias("__approx"))
+            .select("exact_distinct",
+                    ((F.abs(F.col("__approx") - F.col("exact_distinct"))
+                      / F.col("exact_distinct")) <= 0.05)
+                    .alias("within_bounds")))
+
+
+@register("approx_quantiles_gate", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BOOLEAN) AS within_bounds
+FROM orders
+""")
+def approx_quantiles_gate(spark, sf_dir):
+    """`approx_percentile` (Greenwald-Khanna sketch, accuracy 10000) must
+    sit within 1% relative of the exact interpolated percentiles at
+    p50/p95 — the mergeable-sketch path a 100 TB percentile query runs
+    instead of a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("__ex"),
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+        .alias("__ap"))
+    rel = F.transform(
+        F.zip_with("__ex", "__ap", lambda e, a: F.abs(e - a) / e),
+        lambda x: x <= 0.01)
+    return r.select(
+        "n_rows",
+        F.aggregate(rel, F.lit(True), lambda acc, v: acc & v)
+        .alias("within_bounds"))
+
+
 # ===========================================================================
 # Training-data pipeline operators
 # ===========================================================================
