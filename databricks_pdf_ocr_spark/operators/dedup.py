@@ -350,9 +350,13 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
     equi-join (labels across edges) + one hash-agg min, i.e. the
     standard large-graph CC pattern (GraphX/Pregel's small-star
     cousin); rounds needed = graph diameter, which for near-dup
-    clusters is small.  Each round persists its labels (lineage
-    truncation: iterative self-joins otherwise stack exponentially) and
-    the convergence check is a control-plane count.  Raises loudly if
+    clusters is small.  Each round ``localCheckpoint``s its labels:
+    ``persist`` alone caches DATA but leaves the LOGICAL PLAN nesting
+    round-over-round, and by ~7 rounds the plan tree OOMs the driver
+    (caught by the random-graph pytest) — checkpointing is the lineage
+    cut every iterative DataFrame algorithm needs (a real cluster would
+    use ``checkpoint()`` with a reliable dir for fault tolerance).  The
+    convergence check is a control-plane count.  Raises loudly if
     ``max_iter`` rounds don't converge rather than returning a partial
     labeling.
     """
@@ -360,20 +364,20 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
              .distinct().persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("comp", F.col("node")).persist())
     try:
+        # eager localCheckpoint: materializes AND truncates plan lineage
+        labels = (edges.select(F.col("src").alias("node")).distinct()
+                  .withColumn("comp", F.col("node")).localCheckpoint())
         for _ in range(max_iter):
             prop = (edges.join(labels, edges["src"] == labels["node"])
                     .select(F.col("dst").alias("node"), F.col("comp")))
             new_labels = (labels.select("node", "comp").union(prop)
                           .groupBy("node").agg(F.min("comp").alias("comp"))
-                          .persist())
+                          .localCheckpoint())
             changed = (new_labels.alias("n")
                        .join(labels.alias("o"), "node")
                        .filter(F.col("n.comp") != F.col("o.comp"))
                        .count())                 # control-plane scalar
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 return labels

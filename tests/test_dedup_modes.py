@@ -97,3 +97,31 @@ def test_neardup_components_transitive_chain(spark):
     assert set(comp2.values()) == {"n0"}
     with pytest.raises(ValueError, match="did not converge"):
         dedup.neardup_components(chain, max_iter=1)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_neardup_components_random_graphs_vs_union_find(spark, seed):
+    """Seeded random pair graphs: the distributed min-label propagation
+    must agree with a local union-find reference on every node."""
+    rng = random.Random(seed)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)})
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    in_graph = {n for p in pairs for n in p}
+    expected = {n: min(m for m in in_graph if find(m) == find(n))
+                for n in in_graph}
+
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    got = {r["node"]: r["comp"]
+           for r in dedup.neardup_components(df).collect()}
+    assert got == expected
