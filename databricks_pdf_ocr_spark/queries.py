@@ -1179,7 +1179,7 @@ _CURATE_DEFAULT = 40
 
 
 @register("curate_e2e", f"""
-WITH lang AS (SELECT * FROM ({_lang_sql()}) t),
+WITH RECURSIVE lang AS (SELECT * FROM ({_lang_sql()}) t),
 qual AS (
   SELECT doc_id, ws_tokens, bpe_tokens, quality_score_e6 FROM (
     WITH base AS (
@@ -1208,9 +1208,17 @@ gated AS (
 canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
 exact_kept AS (SELECT g.* FROM gated g JOIN canon USING (doc_id)),
 pairs AS (SELECT * FROM ({_verified_pairs_sql(src="exact_kept")}) t),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+noncanon AS (SELECT node FROM reach GROUP BY node HAVING min(comp) != node),
 kept AS (
   SELECT * FROM exact_kept
-  WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs))
+  WHERE doc_id NOT IN (SELECT node FROM noncanon))
 SELECT doc_id, predicted_lang, quality_score_e6, ws_tokens, bpe_tokens
 FROM kept
 WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1221,8 +1229,11 @@ def curate_e2e(spark, sf_dir):
     """The composed curation pipeline (jobs/curate.py) as one oracled query:
     fused feature pass → quality gate → exact dedup (canonical copy) →
     MinHash-LSH near-dup candidates + exact-Jaccard verification →
-    deterministic hash-stratified sample.  Every stage is the operator the
-    job runs; the whole ladder is hash-verified end-to-end against DuckDB."""
+    connected-components canonical per transitive cluster (r4; the pair
+    survivor rule kept extra members of a~b, b~c chains) → deterministic
+    hash-stratified sample.  Every stage is the operator the job runs;
+    the whole ladder is hash-verified end-to-end against DuckDB (incl.
+    the recursive-CTE component labeling)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     feats = text_analysis.with_features(docs)
     gated = feats.filter(F.col("quality_score_e6") >= _CURATE_QTHR)
@@ -1231,7 +1242,9 @@ def curate_e2e(spark, sf_dir):
     exact_kept = gated.join(canon, "doc_id", "left_semi")
     pairs = dedup.minhash_lsh_pairs(exact_kept, n=3, k=8, bands=4,
                                     verify_threshold=0.3)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    losers = (dedup.neardup_components(pairs)
+              .filter(F.col("comp") != F.col("node"))
+              .select(F.col("node").alias("doc_id")))
     kept = exact_kept.join(losers, "doc_id", "left_anti")
     sampled = text_analysis.hash_sample(
         kept, _CURATE_SAMPLE, strata_col="predicted_lang",

@@ -97,10 +97,15 @@ def run_curate(spark, args) -> dict:
     # -- near-dup dedup: LSH candidates VERIFIED by exact n-gram Jaccard
     # before any doc is dropped (raw candidates contain spurious
     # near-zero-similarity collisions in every hash family — dropping on
-    # them deletes non-duplicates), keep the smaller id ----------------------
+    # them deletes non-duplicates), then ONE canonical per transitive
+    # cluster via connected components (r4: the pair survivor rule keeps
+    # extra members of a~b, b~c chains — template families and mirror
+    # chains are routinely transitive at web scale) --------------------------
     pairs = dedup.minhash_lsh_pairs(exact_kept, hash_mode=args.hash_mode,
                                     verify_threshold=args.neardup_jaccard)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    losers = (dedup.neardup_components(pairs)
+              .filter(F.col("comp") != F.col("node"))
+              .select(F.col("node").alias("doc_id")))
     neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
     # -- deterministic stratified sample by predicted language ---------------
