@@ -365,6 +365,15 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
                                       F.col("src").alias("dst")))
              .distinct().persist())
     try:
+        # control-plane scalar that also primes the edge cache; a dup-free
+        # corpus (the common case) skips the propagation loop's ~4 Spark
+        # jobs entirely
+        if edges.count() == 0:
+            from pyspark.sql import types as T
+            t = pairs.schema[a_col].dataType
+            return pairs.sparkSession.createDataFrame(
+                [], T.StructType([T.StructField("node", t),
+                                  T.StructField("comp", t)]))
         # eager localCheckpoint: materializes AND truncates plan lineage
         labels = (edges.select(F.col("src").alias("node")).distinct()
                   .withColumn("comp", F.col("node")).localCheckpoint())
