@@ -122,6 +122,26 @@ def decode_media(df: DataFrame, content_col: str = "content",
                         out["decode_ok"].append(False)
                         out["error_message"].append(str(e))
                         continue
+                elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    # real CONTAINER metadata (functions/mp4mini.py);
+                    # frame decode stays behind the documented fake
+                    try:
+                        from ..functions import mp4mini
+                        m = mp4mini.parse_mp4(payload)
+                        vid = next((t for t in m["tracks"]
+                                    if t["handler"] == "vide"), None)
+                        fmt = "mp4"
+                        w = vid["width"] if vid else 0
+                        h = vid["height"] if vid else 0
+                        dur = m["duration_ms"]
+                    except Exception as e:
+                        out["format"].append("mp4")
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["duration_ms"].append(0)
+                        out["decode_ok"].append(False)
+                        out["error_message"].append(str(e))
+                        continue
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     # real audio path (pure-stdlib RIFF/PCM parser)
                     try:
@@ -453,11 +473,15 @@ def frame_sample(df: DataFrame, content_col: str = "content",
     """Video frame sampling: one output row per sampled frame.
 
     Fan-out happens *inside* the Arrow batch (like the PDF page fan-out),
-    so a long video never becomes a driver loop; frame payload hashes are
-    derived deterministically from (payload, frame_idx) via the fake
-    decoder.
+    so a long video never becomes a driver loop.  The frame SCHEDULE uses
+    the real container duration when the payload is ISO-BMFF
+    (``functions/mp4mini.py``); frame payload hashes remain derived
+    deterministically from (payload, frame_idx) — frame DECODE needs
+    video codecs this container lacks (the documented fake boundary).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import mp4mini
+
         for pdf in batches:
             out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "frame_sha")}
             for payload in pdf[content_col]:  # column-zip, not iterrows()
@@ -465,7 +489,14 @@ def frame_sample(df: DataFrame, content_col: str = "content",
                 if not payload:
                     continue
                 mid = hashlib.sha256(payload).hexdigest()
-                _fmt, _w, _h, dur = _decode_fake(payload)
+                dur = None
+                if mp4mini.looks_like_mp4(payload):
+                    try:
+                        dur = mp4mini.parse_mp4(payload)["duration_ms"]
+                    except mp4mini.Mp4Error:
+                        dur = None
+                if dur is None:
+                    _fmt, _w, _h, dur = _decode_fake(payload)
                 n = min(max_frames, max(1, dur // every_ms))
                 for i in range(int(n)):
                     out["media_id"].append(mid)
