@@ -36,7 +36,7 @@ def main(argv=None) -> int:
     if args.compact_checkpoint:
         out["compaction"] = cp.compact()
     out["runs"] = [r.asDict() for r in cp.run_history(args.limit).collect()]
-    for t in ("extraction_results", "extracted_documents"):
+    for t in ("extraction_results", "extracted_documents", "media_payloads"):
         df = io.read(t)
         out[t] = {"rows": df.count()} if df is not None else None
     print(json.dumps(out, default=str, indent=2))

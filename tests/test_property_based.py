@@ -80,3 +80,23 @@ def test_pdf_parser_never_hangs_on_garbage(data):
         pdfmini.parse_pdf(b"%PDF-" + data)
     except pdfmini.PdfError:
         pass
+
+
+# ---------------------------------------------------------------- codecs
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_codec_parsers_never_hang_on_garbage(data):
+    """Every pure-Python parser in the multimodal path must terminate on
+    arbitrary bytes with either a decode or an exception (the mapInPandas
+    kernels convert any exception into an error row — the contract is
+    no hang, no partial garbage)."""
+    from databricks_pdf_ocr_spark.functions import jpegmini, mp4mini, wavmini
+    for fn, sig in ((jpegmini.decode_jpeg, b"\xff\xd8"),
+                    (wavmini.decode_wav, b"RIFF"),
+                    (mp4mini.parse_mp4, b"\x00\x00\x00\x14ftyp")):
+        for payload in (data, sig + data):
+            try:
+                fn(payload)
+            except Exception:
+                pass
