@@ -164,6 +164,17 @@ class TableIO:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
+    def drop_partitions(self, name: str, partition_col: str,
+                        values: list) -> None:
+        """Delete whole partitions (maintenance ops).  Needed because
+        DYNAMIC partition overwrite cannot express "this partition is now
+        EMPTY" — it only replaces partitions present in the written data,
+        so a fully-garbage-collected partition would silently survive."""
+        for v in values:
+            shutil.rmtree(os.path.join(self.path(name),
+                                       f"{partition_col}={v}"),
+                          ignore_errors=True)
+
     def replace_table(self, src: str, dst: str) -> None:
         """Swap a fully-written table over an existing one (compaction
         commit step).  Parquet backend: two directory renames with a
@@ -239,6 +250,14 @@ class IcebergTableIO(TableIO):
 
     def drop(self, name: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.path(name)}")
+
+    def drop_partitions(self, name: str, partition_col: str,
+                        values: list) -> None:
+        if not values:
+            return
+        vals = ", ".join(repr(v) for v in values)
+        self.spark.sql(f"DELETE FROM {self.path(name)} "
+                       f"WHERE {partition_col} IN ({vals})")
 
     def replace_table(self, src: str, dst: str) -> None:
         # catalog-atomic: createOrReplace commits the swap in one

@@ -53,6 +53,62 @@ EXTRACTED_TABLE = "extracted_documents"
 MEDIA_TABLE = "media_payloads"
 
 
+def gc_media_orphans(io) -> dict:
+    """Maintenance: drop media_payloads rows whose ref no latest-wins
+    result references (re-ingesting a doc with CHANGED content mints new
+    content-addressed refs; the old payloads otherwise linger forever —
+    the storage-leak twin of the checkpoint log's growth, solved the way
+    compaction is: a bounded rewrite of only the affected partitions).
+
+    Precondition (documented, like any table maintenance): run when no
+    extraction/media run is in flight — a payload written for results
+    not yet committed would look orphaned.
+
+    Scale shape: one column-pruned scan of results (media_ref + the
+    latest-wins run columns), an anti-join to find orphans, then a
+    dynamic partition overwrite of ONLY the buckets holding orphans
+    (≤ n_buckets ints collected; untouched buckets are not rewritten).
+    """
+    from databricks_pdf_ocr_spark.plans.state_views import latest_results
+
+    pay = io.read(MEDIA_TABLE)
+    res = io.read(RESULTS_TABLE,
+                  schema="doc_id string, media_ref string, run_id string, "
+                         "run_seq long, processed_at timestamp, bucket int")
+    if pay is None or res is None:
+        return {"gc_orphans": 0, "gc_buckets": 0}
+    live = (latest_results(res)
+            .filter(F.col("media_ref").startswith("pdfimg:"))
+            .select("media_ref").distinct())
+    orphans = (pay.filter(F.col("media_ref").isNotNull())
+               .join(live, "media_ref", "left_anti"))
+    touched = sorted(r["bucket"] for r in
+                     orphans.select("bucket").distinct().collect())
+    if not touched:
+        return {"gc_orphans": 0, "gc_buckets": 0}
+    n_orphans = orphans.count()
+    in_touched = pay.filter(F.col("bucket").isin(touched))
+    kept = (in_touched.filter(F.col("media_ref").isNotNull())
+            .join(live, "media_ref", "left_semi")
+            .unionByName(                       # null-ref error rows stay:
+                in_touched.filter(F.col("media_ref").isNull())))  # provenance
+    # stage → drop → restore: DYNAMIC overwrite cannot express an
+    # all-orphans partition becoming EMPTY (it only replaces partitions
+    # present in the written data), so touched partitions are dropped
+    # outright and survivors re-appended from a FULLY-MATERIALIZED
+    # staging copy (kept reads from the very partitions being dropped —
+    # laziness here would be data loss)
+    staging = MEDIA_TABLE + "__gc"
+    io.drop(staging)
+    io.overwrite(kept, staging, partition_by=["bucket"])
+    io.drop_partitions(MEDIA_TABLE, "bucket", touched)
+    survivors = io.read(staging)
+    if survivors is not None:
+        io.append(survivors, MEDIA_TABLE, partition_by=["bucket"])
+    io.drop(staging)
+    return {"gc_orphans": int(n_orphans), "gc_buckets": len(touched)}
+
+
 def run_media_stage(io, cp, documents, fingerprint: str, cfg,
                     mode: str, doc_ids=(), run_seq: int | None = None,
                     fail_after_buckets: int | None = None) -> dict:

@@ -26,6 +26,12 @@ def main(argv=None) -> int:
                          "to its latest-wins snapshot (one row per "
                          "fingerprint+bucket); resume behavior unchanged, "
                          "superseded runs drop out of run history")
+    ap.add_argument("--gc-media-orphans", action="store_true",
+                    help="maintenance: drop media_payloads rows no "
+                         "latest-wins result references (re-ingested docs "
+                         "with changed content mint new refs; old payloads "
+                         "otherwise accumulate forever).  Run only while "
+                         "no extraction is in flight.")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="status")
@@ -35,6 +41,9 @@ def main(argv=None) -> int:
     out = {}
     if args.compact_checkpoint:
         out["compaction"] = cp.compact()
+    if args.gc_media_orphans:
+        from jobs.extract import gc_media_orphans
+        out["media_gc"] = gc_media_orphans(io)
     out["runs"] = [r.asDict() for r in cp.run_history(args.limit).collect()]
     for t in ("extraction_results", "extracted_documents", "media_payloads"):
         df = io.read(t)

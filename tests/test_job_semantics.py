@@ -224,3 +224,47 @@ def test_media_payloads_crash_resume_and_joinback(spark, tmp_path, rows):
             res.filter(F.col("media_ref").startswith("pdfimg:"))
                .select("media_ref").distinct().collect()}
     assert refs and refs <= set(single)
+
+
+def test_media_gc_drops_orphans_keeps_live_and_error_rows(spark, tmp_path, rows):
+    """Re-ingesting changed content mints new content-addressed refs; GC
+    must drop the superseded payloads, keep every latest-referenced one,
+    and preserve null-ref provenance rows."""
+    from jobs.extract import gc_media_orphans
+
+    inp = _write_input(spark, tmp_path, rows, "in_gc")
+    t = str(tmp_path / "t_gc")
+    _run(spark, inp, t, "--media-payloads")
+    refs_v1 = set(_media_dict(spark, t))
+    assert refs_v1
+
+    # change every pdf span's content (re-wrap with an extra text page) →
+    # different embedded-image payload set for SOME docs is not guaranteed,
+    # so instead drop all pdf spans to text: every v1 ref becomes orphaned
+    changed = [(d, [{**s, "kind": "text",
+                     "text": (s["text"] or "")[:40], "media_ref": None}
+                    if s["kind"] == "pdf" else s for s in spans])
+               for d, spans in rows]
+    inp2 = _write_input(spark, tmp_path, changed, "in_gc")  # same path
+    _run(spark, inp2, t, "--media-payloads", "--mode", "reprocess_all")
+
+    out = gc_media_orphans(_table_io(spark, t))
+    assert out["gc_orphans"] > 0 and out["gc_buckets"] > 0
+
+    # after GC: no v1 refs remain, and every latest-results ref resolves
+    left = set(_media_dict(spark, t))
+    assert not (left & refs_v1)
+    res = spark.read.parquet(f"{t}/{RESULTS_TABLE}")
+    from databricks_pdf_ocr_spark.plans.state_views import latest_results
+    live = {r["media_ref"] for r in
+            latest_results(res).filter(
+                F.col("media_ref").startswith("pdfimg:")).collect()}
+    assert live <= left
+
+    # idempotent: second GC is a no-op
+    assert gc_media_orphans(_table_io(spark, t))["gc_orphans"] == 0
+
+
+def _table_io(spark, tables):
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+    return TableIO(spark, tables)
