@@ -201,6 +201,38 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` — 4× smaller
+    embedding storage (the difference between 100 TB and 25 TB of
+    vectors) at ~0.4 % max reconstruction error, the standard first rung
+    before product quantization.
+
+    Pure column expressions (JVM, codegen).  The scale is materialized
+    in its OWN projection before the quantizing ``transform`` — an
+    expression referenced inside a HOF lambda body re-evaluates per
+    element (the shingle lesson), which would make this O(dim²) per
+    vector.  Zero vectors quantize to zeros with scale 0 (try_divide).
+
+    Output: ``(id, scale, qvec array<int>)``; dequantization is
+    ``q_i * scale``.
+    """
+    amax = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: F.abs(x)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, x))
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("__v"),
+                       (amax / F.lit(127.0)).alias("scale"))
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.coalesce(
+            F.round(F.try_divide(x, F.col("scale")), 0), F.lit(0.0))
+        .cast("int"))
+    return staged.select("id", "scale", q.alias("qvec"))
+
+
 def _probe_clusters(queries: DataFrame, cdf: DataFrame, nprobe: int,
                     qid_col: str, vec_col: str) -> DataFrame:
     """(query_id, cluster, qv): each query's ``nprobe`` nearest centroids

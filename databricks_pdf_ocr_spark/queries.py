@@ -816,6 +816,33 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+@register("embed_quantize", """
+WITH staged AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale,
+         embedding
+  FROM embeddings)
+SELECT vec_id,
+       CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+       list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))
+         AS qvec
+FROM staged
+""")
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage cut applied before any vector index at corpus scale.
+    Oracle: DuckDB recomputes scale + quantized values exactly
+    (floor-scaled scale for cross-engine double parity)."""
+    q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.floor(F.col("scale") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("scale_e9"),
+        "qvec")
+
+
 @register("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

@@ -91,3 +91,19 @@ def test_ivf_indexed_equals_inmemory_and_prunes(spark, tmp_path):
             .filter(F.col("cluster").isin([0, 1, 2]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_quantize_roundtrip_error_and_zero_vector(spark):
+    """Dequantized values must sit within scale/2 of the originals
+    (symmetric int8 contract), and a zero vector quantizes to zeros with
+    scale 0 instead of dividing by zero."""
+    rows = [(0, [1.0, -0.5, 0.25, 0.127]), (1, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in S.quantize_embeddings(df).collect()}
+
+    v0, q0, s0 = rows[0][1], out[0]["qvec"], out[0]["scale"]
+    assert s0 == pytest.approx(1.0 / 127.0)
+    assert all(abs(q * s0 - x) <= s0 / 2 + 1e-9 for q, x in zip(q0, v0))
+    assert max(abs(q) for q in q0) == 127
+
+    assert out[1]["scale"] == 0.0 and out[1]["qvec"] == [0, 0, 0, 0]
