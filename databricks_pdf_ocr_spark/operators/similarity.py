@@ -308,6 +308,64 @@ def ivf_topk_indexed(io, queries: DataFrame, k: int = 5, nprobe: int = 4,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def _banded(df: DataFrame, idc: str, vc: str, out_id: str, dim: int,
+            n_planes: int, bands: int) -> DataFrame:
+    """(id, vec, band_idx, band_val) — the signature rows both the
+    in-memory path and the persisted index share."""
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    sig = hyperplane_signature(F.col(vc), dim, n_planes)
+    bandv = F.array(*[
+        F.shiftright(sig, b * r).bitwiseAND(F.lit(mask)).alias(f"b{b}")
+        for b in range(bands)
+    ])
+    return df.select(F.col(idc).alias(out_id),
+                     F.col(vc).alias(out_id + "_v"),
+                     F.posexplode(bandv).alias("band_idx", "band_val"))
+
+
+def build_lsh_index(embeddings: DataFrame, io, table: str = "lsh_index",
+                    dim: int = 16, n_planes: int = 12, bands: int = 3,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """Persist the LSH signature table — the index an at-scale ANN
+    deployment builds ONCE: the corpus-side pandas-UDF signature matmul
+    (the expensive stage) never re-runs per query batch; probes are an
+    equi-join against these rows.  (Unlike the IVF index there is no
+    partition-pruning win — every query touches all band_idx values —
+    the win is amortizing signature compute + scan-ready banding.)"""
+    io.overwrite(_banded(embeddings, id_col, vec_col, "neighbor_id",
+                         dim, n_planes, bands), table)
+    return table
+
+
+def lsh_ann_topk_indexed(io, queries: DataFrame, k: int = 5,
+                         table: str = "lsh_index", dim: int = 16,
+                         n_planes: int = 12, bands: int = 3,
+                         qid_col: str = "query_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k against a persisted signature index
+    (build_lsh_index): only the (small) query side computes signatures;
+    candidates come from the band equi-join against the stored rows."""
+    c = io.read(table)
+    q = F.broadcast(_banded(queries, qid_col, vec_col, "query_id",
+                            dim, n_planes, bands))
+    cands = (c.join(q, ["band_idx", "band_val"])
+             .filter(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id", "query_id_v",
+                     "neighbor_id_v")
+             .distinct())
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_sim(F.col("query_id_v"), F.col("neighbor_id_v")), 6)
+        .alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "query_id", dim: int = 16,
@@ -321,20 +379,10 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     ideal for writing back as an index table); the join is an equi-join on
     (band_idx, band_value) — shuffle keyed on small ints, no cross product.
     """
-    r = n_planes // bands
-    mask = (1 << r) - 1
-
-    def banded(df, idc, vc, out_id):
-        sig = hyperplane_signature(F.col(vc), dim, n_planes)
-        bandv = F.array(*[
-            F.shiftright(sig, b * r).bitwiseAND(F.lit(mask)).alias(f"b{b}")
-            for b in range(bands)
-        ])
-        return df.select(F.col(idc).alias(out_id), F.col(vc).alias(out_id + "_v"),
-                         F.posexplode(bandv).alias("band_idx", "band_val"))
-
-    c = banded(embeddings, id_col, vec_col, "neighbor_id")
-    q = F.broadcast(banded(queries, qid_col, vec_col, "query_id"))
+    c = _banded(embeddings, id_col, vec_col, "neighbor_id",
+                dim, n_planes, bands)
+    q = F.broadcast(_banded(queries, qid_col, vec_col, "query_id",
+                            dim, n_planes, bands))
     cands = (c.join(q, ["band_idx", "band_val"])
              .filter(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")

@@ -852,6 +852,25 @@ def ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_ann_topk(emb, q, k=5, dim=dim)
 
 
+@register("ann_lsh_indexed", _ann_lsh_sql())
+def ann_lsh_indexed(spark, sf_dir):
+    """The persisted-signature-index probe path (build_lsh_index): the
+    corpus-side pandas-UDF signature matmul runs once at build time;
+    probes equi-join the stored banding.  Must produce the exact rows of
+    the in-memory ``ann_lsh_topk`` — same full-algorithm DuckDB oracle."""
+    import tempfile
+
+    from .sources.tables import TableIO
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    io = TableIO(spark, tempfile.mkdtemp(prefix="lsh_idx_"))
+    similarity.build_lsh_index(emb, io, dim=dim)
+    return similarity.lsh_ann_topk_indexed(io, q, k=5, dim=dim)
+
+
 @register("ann_ivf_topk", _ann_ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

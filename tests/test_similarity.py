@@ -107,3 +107,19 @@ def test_quantize_roundtrip_error_and_zero_vector(spark):
     assert max(abs(q) for q in q0) == 127
 
     assert out[1]["scale"] == 0.0 and out[1]["qvec"] == [0, 0, 0, 0]
+
+
+def test_lsh_indexed_equals_inmemory(spark, tmp_path, emb):
+    """The persisted-signature index returns the exact in-memory
+    lsh_ann_topk rows (the corpus matmul runs only at build time)."""
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    io = TableIO(spark, str(tmp_path / "lshidx"))
+    S.build_lsh_index(emb, io, dim=dim)
+    mem = {tuple(r) for r in S.lsh_ann_topk(emb, q, k=5, dim=dim).collect()}
+    idx = {tuple(r) for r in
+           S.lsh_ann_topk_indexed(io, q, k=5, dim=dim).collect()}
+    assert idx == mem and mem
