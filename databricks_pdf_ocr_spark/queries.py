@@ -825,22 +825,27 @@ WITH staged AS (
   FROM embeddings)
 SELECT vec_id,
        CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
-       list_transform(embedding,
-                      x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT))
-         AS qvec
+       array_to_string(
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INT)),
+         ',') AS qvec
 FROM staged
 """)
 def embed_quantize(spark, sf_dir):
     """Symmetric int8 scalar quantization of the embedding column — the
     4× storage cut applied before any vector index at corpus scale.
     Oracle: DuckDB recomputes scale + quantized values exactly
-    (floor-scaled scale for cross-engine double parity)."""
+    (floor-scaled scale for cross-engine double parity).  ``qvec`` is
+    serialized with array_join on BOTH sides so the driver gate's pandas
+    canonicalizer (which cannot factorize list values) can hash it —
+    round-4 verdict item #1."""
     q = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
     return q.select(
         F.col("id").alias("vec_id"),
         F.floor(F.col("scale") * 1e9 + F.lit(0.5)).cast("long")
         .alias("scale_e9"),
-        "qvec")
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        .alias("qvec"))
 
 
 @register("ann_lsh_topk", _ann_lsh_sql())
