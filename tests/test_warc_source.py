@@ -58,6 +58,133 @@ def test_error_contract():
         list(warc.parse_warc(data[:-30]))
 
 
+def test_chunked_transfer_unwrapped():
+    """RFC 7230 chunked framing must not leak hex-size lines into the
+    document text (round-4 ADVICE low)."""
+    data = warc.write_warc([
+        {"type": "response", "uri": "http://c.example/chunked",
+         "body": b"first part and second part",
+         "http_content_type": "text/plain", "chunked": True}])
+    rec = next(warc.parse_warc(data))
+    status, ctype, body = warc.split_http(rec["body"])
+    assert status == 200
+    assert body == b"first part and second part"
+    # malformed framing → raw passthrough, never a crash
+    assert warc._dechunk(b"ZZ\r\nbroken") == b"ZZ\r\nbroken"
+    assert warc._dechunk(b"5\r\nab") == b"5\r\nab"
+
+
+def test_charset_decode():
+    """Declared charsets are honored; undeclared/unknown → lossy UTF-8;
+    invalid bytes NEVER raise (the ANSI F.decode failure mode —
+    round-4 ADVICE high)."""
+    assert warc.charset_of("text/html; charset=ISO-8859-1") == "iso8859-1"
+    assert warc.charset_of('text/html; charset="utf-16"') == "utf-16"
+    assert warc.charset_of("text/html") == "utf-8"
+    assert warc.charset_of("text/html; charset=bogus-x") == "utf-8"
+    assert warc.decode_payload(
+        b"caf\xe9", "text/html; charset=latin-1") == "café"
+    assert warc.decode_payload(
+        "straße".encode("utf-16"), "text/plain; charset=utf-16") == "straße"
+    # dirty crawl body: invalid multibyte under declared utf-8
+    out = warc.decode_payload(b"ok \xff\xfe end", "text/html; charset=utf-8")
+    assert out.startswith("ok ") and out.endswith(" end")
+
+
+def test_streaming_reader_bounded_memory():
+    """The reader holds ONE record at a time: peak traced allocation on
+    a high-inflation segment stays far below the decompressed size
+    (round-4 verdict weak #2 — whole-buffer gzip.decompress held it
+    all)."""
+    import io
+    import tracemalloc
+
+    rec_body = b"x" * (4 << 20)                      # 4 MiB, compresses tiny
+    n = 50                                           # 200 MiB decompressed
+    segment = warc.write_warc(
+        [{"type": "resource", "uri": f"http://m.example/{i}",
+          "body": rec_body} for i in range(n)])
+    assert len(segment) < (1 << 20)                  # fixture inflates ≥200×
+    tracemalloc.start()
+    count = total = 0
+    for rec in warc.iter_warc_stream(io.BytesIO(segment)):
+        count += 1
+        total += len(rec["body"])
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == n and total == n * len(rec_body)
+    assert peak < (32 << 20), \
+        f"peak {peak} B should be ~one record, decompressed total {total} B"
+
+
+def test_oversize_record_becomes_error_row():
+    import io
+
+    data = warc.write_warc([
+        {"type": "response", "uri": "http://big.example/a",
+         "body": b"z" * 1000, "http_content_type": "text/plain"},
+        {"type": "response", "uri": "http://ok.example/b",
+         "body": b"small", "http_content_type": "text/plain"}])
+    out = list(warc.iter_warc_stream(io.BytesIO(data), max_record_bytes=200))
+    assert len(out) == 2
+    assert out[0]["body"] is None and "exceeds" in out[0]["error"]
+    # reader recovers cleanly past the skipped body
+    assert out[1]["error"] is None and b"small" in out[1]["body"]
+
+
+def test_duplicate_uri_latest_capture_wins(spark, tmp_path):
+    """Two captures of one URI in one ingest batch must collapse to the
+    latest WARC-Date before hitting the documents contract (round-4
+    ADVICE low: same-run_seq duplicates interleave two page versions)."""
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "s0.warc.gz").write_bytes(warc.write_warc([
+        {"type": "response", "uri": "http://dup.example/page",
+         "body": b"<html><p>old capture</p></html>",
+         "http_content_type": "text/html",
+         "date": "2026-01-01T00:00:00Z"}]))
+    (seg_dir / "s1.warc.gz").write_bytes(warc.write_warc([
+        {"type": "response", "uri": "http://dup.example/page",
+         "body": b"<html><p>new capture</p></html>",
+         "http_content_type": "text/html",
+         "date": "2026-03-01T00:00:00Z"},
+        # dirty body under declared utf-8: must degrade, not fail the job
+        {"type": "response", "uri": "http://dirty.example/x",
+         "body": b"<html><p>broken \xff\xfe bytes</p></html>",
+         "http_content_type": "text/html; charset=utf-8"},
+        # declared latin-1 honored
+        {"type": "response", "uri": "http://latin.example/y",
+         "body": b"<html><p>caf\xe9</p></html>",
+         "http_content_type": "text/html; charset=ISO-8859-1"}]))
+    docs = warc.warc_to_documents(
+        warc.read_warc_segments(spark, str(seg_dir)))
+    texts = {r["doc_id"]: r["spans"][0]["text"] for r in docs.collect()}
+    assert len(texts) == 3
+    joined = " ".join(texts.values())
+    assert "new capture" in joined and "old capture" not in joined
+    assert "café" in joined
+    assert "broken" in joined        # dirty body survived as degraded text
+
+
+def test_from_path_and_content_modes_agree(spark, tmp_path):
+    """The stream-from-disk fast path (local posix) must produce exactly
+    the rows of the binaryFile-content fallback (object stores)."""
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "s0.warc.gz").write_bytes(warc.write_warc(_records()))
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc.gz").load(str(seg_dir)))
+    a = warc.warc_records_from_paths(files.select("path"))
+    b = warc.warc_records(files.select("path", "content"))
+    key = ["segment", "record_id"]
+    rows_a = sorted([tuple(r) for r in a.collect()])
+    rows_b = sorted([tuple(r) for r in b.collect()])
+    assert rows_a == rows_b and len(rows_a) == 5
+    assert warc._local_dir("file:///x/y") == "/x/y"
+    assert warc._local_dir("/x/y") == "/x/y"
+    assert warc._local_dir("s3://bucket/x") is None
+
+
 def test_segment_to_documents_to_extraction(spark, tmp_path):
     """End-to-end: .warc.gz segments → record table → documents contract
     → the real extraction pipeline (html block extraction)."""
