@@ -47,11 +47,16 @@ class TableIO:
         return os.path.join(self.base_path, name)
 
     def exists(self, name: str) -> bool:
+        """True only when the table holds actual data files.  A directory
+        that exists but contains no parquet (e.g. every partition was
+        dropped by GC/maintenance — only ``_SUCCESS`` markers remain)
+        must read as absent: ``spark.read.parquet`` on it raises
+        UNABLE_TO_INFER_SCHEMA, and callers already handle None."""
         p = self.path(name)
         if not os.path.isdir(p):
             return False
-        return any(f.endswith(".parquet") or f.startswith("bucket=")
-                   or "=" in f for f in os.listdir(p)) or bool(os.listdir(p))
+        return any(f.endswith(".parquet")
+                   for _, _, files in os.walk(p) for f in files)
 
     def read(self, name: str, schema=None) -> DataFrame | None:
         """``schema``: optional explicit (possibly partial) schema — skips

@@ -53,6 +53,29 @@ EXTRACTED_TABLE = "extracted_documents"
 MEDIA_TABLE = "media_payloads"
 
 
+def _restore_gc_staging(io) -> int:
+    """Crash recovery for ``gc_media_orphans``: a prior run that died
+    between ``drop_partitions`` and the restoring ``append`` left the
+    ONLY copy of the surviving live payloads in the ``__gc`` staging
+    table — and the old entry-point ``io.drop(staging)`` would have
+    silently destroyed it on the next run (round-4 ADVICE medium).  So
+    on entry any non-empty staging is appended back to MEDIA_TABLE
+    FIRST, then dropped.  Over-restoring (crash landed after a partial
+    or full append) only duplicates byte-identical content-addressed
+    rows, which ``multimodal.dedup_payloads`` collapses on read — loss
+    is impossible, duplication is self-healing.  Returns rows restored.
+    """
+    staging = MEDIA_TABLE + "__gc"
+    leftover = io.read(staging)
+    n = 0
+    if leftover is not None:
+        n = leftover.count()
+        if n:
+            io.append(leftover, MEDIA_TABLE, partition_by=["bucket"])
+    io.drop(staging)
+    return int(n)
+
+
 def gc_media_orphans(io) -> dict:
     """Maintenance: drop media_payloads rows whose ref no latest-wins
     result references (re-ingesting a doc with CHANGED content mints new
@@ -71,12 +94,13 @@ def gc_media_orphans(io) -> dict:
     """
     from databricks_pdf_ocr_spark.plans.state_views import latest_results
 
+    restored = _restore_gc_staging(io)   # BEFORE any read of MEDIA_TABLE
     pay = io.read(MEDIA_TABLE)
     res = io.read(RESULTS_TABLE,
                   schema="doc_id string, media_ref string, run_id string, "
                          "run_seq long, processed_at timestamp, bucket int")
     if pay is None or res is None:
-        return {"gc_orphans": 0, "gc_buckets": 0}
+        return {"gc_orphans": 0, "gc_buckets": 0, "gc_restored": restored}
     live = (latest_results(res)
             .filter(F.col("media_ref").startswith("pdfimg:"))
             .select("media_ref").distinct())
@@ -85,7 +109,7 @@ def gc_media_orphans(io) -> dict:
     touched = sorted(r["bucket"] for r in
                      orphans.select("bucket").distinct().collect())
     if not touched:
-        return {"gc_orphans": 0, "gc_buckets": 0}
+        return {"gc_orphans": 0, "gc_buckets": 0, "gc_restored": restored}
     n_orphans = orphans.count()
     in_touched = pay.filter(F.col("bucket").isin(touched))
     kept = (in_touched.filter(F.col("media_ref").isNotNull())
@@ -99,14 +123,14 @@ def gc_media_orphans(io) -> dict:
     # staging copy (kept reads from the very partitions being dropped —
     # laziness here would be data loss)
     staging = MEDIA_TABLE + "__gc"
-    io.drop(staging)
     io.overwrite(kept, staging, partition_by=["bucket"])
     io.drop_partitions(MEDIA_TABLE, "bucket", touched)
     survivors = io.read(staging)
     if survivors is not None:
         io.append(survivors, MEDIA_TABLE, partition_by=["bucket"])
     io.drop(staging)
-    return {"gc_orphans": int(n_orphans), "gc_buckets": len(touched)}
+    return {"gc_orphans": int(n_orphans), "gc_buckets": len(touched),
+            "gc_restored": restored}
 
 
 def run_media_stage(io, cp, documents, fingerprint: str, cfg,

@@ -265,6 +265,40 @@ def test_media_gc_drops_orphans_keeps_live_and_error_rows(spark, tmp_path, rows)
     assert gc_media_orphans(_table_io(spark, t))["gc_orphans"] == 0
 
 
+def test_media_gc_crash_between_drop_and_restore_loses_nothing(
+        spark, tmp_path, rows):
+    """The GC crash window (round-4 ADVICE medium): a run that died
+    after ``drop_partitions`` but before the restoring append leaves the
+    ONLY copy of live payloads in the ``__gc`` staging table.  The next
+    GC entry must restore it — the old code dropped staging on entry,
+    silently and permanently losing live rows."""
+    from jobs.extract import MEDIA_TABLE, gc_media_orphans
+
+    inp = _write_input(spark, tmp_path, rows, "in_gccrash")
+    t = str(tmp_path / "t_gccrash")
+    _run(spark, inp, t, "--media-payloads")
+    io = _table_io(spark, t)
+    live_before = _media_dict(spark, t)
+    assert live_before
+
+    # simulate the crashed GC: survivors staged, partitions dropped,
+    # restore append never ran
+    pay = io.read(MEDIA_TABLE)
+    buckets = sorted(r["bucket"] for r in
+                     pay.select("bucket").distinct().collect())
+    io.overwrite(pay, MEDIA_TABLE + "__gc", partition_by=["bucket"])
+    io.drop_partitions(MEDIA_TABLE, "bucket", buckets)
+    assert io.read(MEDIA_TABLE) is None or \
+        io.read(MEDIA_TABLE).count() == 0       # the table really is gone
+
+    out = gc_media_orphans(_table_io(spark, t))
+    assert out["gc_restored"] > 0
+    assert _media_dict(spark, t) == live_before  # every live row is back
+    # and a further GC is a clean no-op
+    out2 = gc_media_orphans(_table_io(spark, t))
+    assert out2["gc_orphans"] == 0 and out2["gc_restored"] == 0
+
+
 def _table_io(spark, tables):
     from databricks_pdf_ocr_spark.sources.tables import TableIO
     return TableIO(spark, tables)
