@@ -273,3 +273,85 @@ def pdf_corpus_rows(seed: int, n_docs: int):
             pages.append({"image": b"stub" + bytes([idx % 251])})
         yield did, pdfmini.write_pdf(pages, compress=True,
                                      xref_stream=(idx % 2 == 1))
+
+
+def warc_corpus_records(seed: int, n_segments: int = 6,
+                        recs_per_segment: int = 8):
+    """Deterministic crawl-segment corpus for the ``warc_e2e`` oracle:
+    per segment, a list of ``sources.warc.write_warc`` record dicts
+    covering the real-crawl shapes the source must survive — declared
+    charsets (latin-1, utf-16), chunked transfer framing, invalid bytes
+    under a declared utf-8, duplicate-URI re-crawls across segments,
+    non-2xx and non-text records (filtered), and a warcinfo header
+    record.  Pure function of (seed, n_segments, recs_per_segment)."""
+    segments = []
+    for s in range(n_segments):
+        rng = random.Random(f"{seed}:warc:{s}")
+        recs = [{"type": "warcinfo", "uri": None,
+                 "body": f"software: fixture/{s}\r\n".encode()}]
+        for i in range(recs_per_segment):
+            uri = f"http://site{s}.example/page{i}"
+            date = f"2026-0{1 + s % 3}-{10 + i:02d}T00:00:00Z"
+            r = rng.random()
+            if r < 0.40:
+                recs.append({"type": "response", "uri": uri,
+                             "body": _html_payload(rng).encode(),
+                             "http_content_type": "text/html; charset=utf-8",
+                             "date": date, "chunked": rng.random() < 0.3})
+            elif r < 0.55:
+                recs.append({"type": "response", "uri": uri,
+                             "body": _paragraph(rng, 2, 5).encode(),
+                             "http_content_type": "text/plain",
+                             "date": date})
+            elif r < 0.65:   # declared latin-1, bytes not valid utf-8
+                body = f"<html><body><p>café précis {_sentence(rng)}" \
+                    "</p></body></html>"
+                recs.append({"type": "response", "uri": uri,
+                             "body": body.encode("latin-1"),
+                             "http_content_type":
+                                 "text/html; charset=ISO-8859-1",
+                             "date": date})
+            elif r < 0.72:   # declared utf-16
+                recs.append({"type": "response", "uri": uri,
+                             "body": f"straße {_sentence(rng)}"
+                             .encode("utf-16"),
+                             "http_content_type":
+                                 "text/plain; charset=utf-16",
+                             "date": date})
+            elif r < 0.79:   # dirty: invalid multibyte under declared utf-8
+                recs.append({"type": "response", "uri": uri,
+                             "body": b"<html><p>dirty \xff\xfe tail "
+                             + _sentence(rng).encode() + b"</p></html>",
+                             "http_content_type": "text/html; charset=utf-8",
+                             "date": date})
+            elif r < 0.87:   # filtered: non-2xx
+                recs.append({"type": "response", "uri": uri,
+                             "body": b"gone", "status": 404,
+                             "http_content_type": "text/html",
+                             "date": date})
+            else:            # filtered: non-text payload
+                recs.append({"type": "response", "uri": uri,
+                             "body": b"\x89PNG fake" + bytes([s, i]),
+                             "http_content_type": "image/png",
+                             "date": date})
+        # cross-segment re-crawl: segment s also re-captures a page of
+        # segment (s-1) with a LATER date — latest capture must win
+        if s > 0:
+            recs.append({"type": "response",
+                         "uri": f"http://site{s - 1}.example/page0",
+                         "body": f"<html><p>recrawl of site{s - 1} "
+                         f"{_sentence(rng)}</p></html>".encode(),
+                         "http_content_type": "text/html; charset=utf-8",
+                         "date": f"2026-06-{10 + s:02d}T00:00:00Z"})
+        segments.append(recs)
+    return segments
+
+
+def warc_corpus_segments(seed: int, n_segments: int = 6,
+                         recs_per_segment: int = 8) -> list[bytes]:
+    """The corpus as gzipped WARC segment bytes (Common Crawl layout)."""
+    from .sources.warc import write_warc
+
+    return [write_warc(recs, gzip_per_record=True)
+            for recs in warc_corpus_records(seed, n_segments,
+                                            recs_per_segment)]

@@ -1123,6 +1123,41 @@ def extract_e2e(spark, sf_dir):
                     F.col("s.media_ref").alias("media_ref")))
 
 
+@register("warc_e2e", """
+SELECT doc_id, out_offset, kind, text, media_ref
+FROM read_parquet('/root/repo/tests/data/golden_warc_e2e.parquet')
+""")
+def warc_e2e(spark, sf_dir):
+    """Crawl mouth end-to-end: deterministic .warc.gz segments (declared
+    charsets, chunked transfer, dirty bytes, duplicate-URI re-crawls,
+    non-text/non-2xx records) → streaming record parse →
+    ``warc_to_documents`` (latest capture wins, charset-aware lossy
+    decode) → the full distributed extraction → flat per-span rows.
+
+    Oracle: the same segments through the pure kernels single-process
+    with NO Spark (tools/make_golden_parquet.py → committed golden
+    parquet) — the round-4 verdict #3 ask: every pipeline mouth gets a
+    driver CORRECTNESS row, not just pytest."""
+    from . import fixtures
+    from .config import ExtractConfig
+    from .operators.extract import reassemble, run_extraction
+    from .sources import warc as warc_src
+
+    segs = fixtures.warc_corpus_segments(seed=42, n_segments=6)
+    files = spark.createDataFrame(
+        [(f"mem:seg-{i:05d}.warc.gz", b) for i, b in enumerate(segs)],
+        "path string, content binary").repartition(4)
+    docs = warc_src.warc_to_documents(warc_src.warc_records(files))
+    cfg = ExtractConfig(n_buckets=16, shuffle_partitions=8)
+    assembled = reassemble(run_extraction(docs, cfg))
+    return (assembled.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.offset").alias("out_offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref")))
+
+
 @register("pdf_images_e2e", """
 SELECT doc_id, page_idx, image_idx, format, width, height,
        content_len, content_sha, extract_ok, error_message

@@ -101,10 +101,75 @@ def pdf_images_golden_table() -> pa.Table:
     })
 
 
+#: must mirror queries.warc_e2e exactly
+WARC_SEED, WARC_SEGMENTS = 42, 6
+WARC_CFG = ExtractConfig(n_buckets=16, shuffle_partitions=8)
+
+WARC_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_warc_e2e.parquet"
+
+
+def warc_golden_rows():
+    """Single-process truth for the WARC mouth: the deterministic crawl
+    segments parsed/filtered/deduped with the pure kernels (no Spark),
+    mirroring ``warc.warc_to_documents`` — text/2xx responses only,
+    latest (WARC-Date, record-id) capture per URI, charset-aware lossy
+    decode — then the extraction golden over the resulting documents."""
+    import hashlib
+    import re
+
+    from databricks_pdf_ocr_spark.sources import warc as W
+
+    caps: dict[str, tuple] = {}        # uri -> ((date, rid), hct, body)
+    for seg in fixtures.warc_corpus_segments(WARC_SEED, WARC_SEGMENTS):
+        for rec in W.parse_warc(seg):
+            h = rec["headers"]
+            if h.get("warc-type") != "response":
+                continue
+            uri = h.get("warc-target-uri")
+            if uri is None:
+                continue
+            status, hct, body = W.split_http(rec["body"])
+            if not (hct and re.match("(?i)^text/(html|plain)", hct)):
+                continue
+            if not (status is not None and 200 <= status <= 299):
+                continue
+            key = (h.get("warc-date") or "", h.get("warc-record-id") or "")
+            if uri not in caps or key > caps[uri][0]:
+                caps[uri] = (key, hct, body)
+    rows = []
+    for uri, (_key, hct, body) in caps.items():
+        kind = "html" if re.search("(?i)html", hct) else "text"
+        rows.append((hashlib.sha256(uri.encode()).hexdigest(),
+                     [{"kind": kind, "text": W.decode_payload(body, hct),
+                       "media_ref": None, "offset": 0}]))
+    return rows
+
+
+def warc_golden_table() -> pa.Table:
+    gold = golden_extract(warc_golden_rows(), WARC_CFG)
+    doc_ids, offs, kinds, texts, mrefs = [], [], [], [], []
+    for did in sorted(gold):
+        for (kind, text, mref, off) in gold[did]:
+            doc_ids.append(did)
+            offs.append(off)
+            kinds.append(kind)
+            texts.append(text)
+            mrefs.append(mref)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "out_offset": pa.array(offs, pa.int32()),
+        "kind": pa.array(kinds, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "media_ref": pa.array(mrefs, pa.string()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
-                        (PDFIMG_GOLDEN_PATH, pdf_images_golden_table())):
+                        (PDFIMG_GOLDEN_PATH, pdf_images_golden_table()),
+                        (WARC_GOLDEN_PATH, warc_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
