@@ -36,9 +36,13 @@ MEDIA_META_DDL = (
     "error_message string"
 )
 
-#: per-frame rows emitted by frame_sample (video fan-out)
+#: per-frame rows emitted by frame_sample (video fan-out).  ``source``:
+#: 'mjpeg' = real decoded frame (sha over RGB/gray pixels, real dims);
+#: 'fake' = the documented deterministic stand-in for codecs this
+#: container cannot decode; 'error' = an MJPEG sample that failed decode
 FRAME_DDL = (
-    "media_id string, frame_idx int, ts_ms long, frame_sha string"
+    "media_id string, frame_idx int, ts_ms long, frame_sha string, "
+    "width int, height int, source string"
 )
 
 EMBED_DIM = 16
@@ -136,6 +140,22 @@ def decode_media(df: DataFrame, content_col: str = "content",
                         dur = m["duration_ms"]
                     except Exception as e:
                         out["format"].append("mp4")
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["duration_ms"].append(0)
+                        out["decode_ok"].append(False)
+                        out["error_message"].append(str(e))
+                        continue
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+                    # real HEADER metadata (functions/webpmini.py) —
+                    # dimensions for curation filters; pixel decode stays
+                    # behind the loud boundary (round-4 verdict #6)
+                    try:
+                        from ..functions import webpmini
+                        m = webpmini.webp_meta(payload)
+                        fmt, w, h, dur = "webp", m["width"], m["height"], 0
+                    except Exception as e:
+                        out["format"].append("webp")
                         out["width"].append(0)
                         out["height"].append(0)
                         out["duration_ms"].append(0)
@@ -475,35 +495,66 @@ def frame_sample(df: DataFrame, content_col: str = "content",
     Fan-out happens *inside* the Arrow batch (like the PDF page fan-out),
     so a long video never becomes a driver loop.  The frame SCHEDULE uses
     the real container duration when the payload is ISO-BMFF
-    (``functions/mp4mini.py``); frame payload hashes remain derived
-    deterministically from (payload, frame_idx) — frame DECODE needs
-    video codecs this container lacks (the documented fake boundary).
+    (``functions/mp4mini.py``).  Motion-JPEG tracks (the one video codec
+    this container CAN decode — every sample is a standalone JPEG) get
+    REAL frames: the sample nearest each schedule point is decoded with
+    ``functions/jpegmini`` and hashed over its pixel bytes.  Other
+    codecs keep the documented deterministic fake (``source='fake'``);
+    an MJPEG sample that fails JPEG decode becomes a loud
+    ``source='error'`` row rather than a silent fake.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import mp4mini
+        from ..functions import jpegmini, mp4mini
+
+        def emit(out, mid, i, ts, sha, w, h, src):
+            out["media_id"].append(mid)
+            out["frame_idx"].append(i)
+            out["ts_ms"].append(ts)
+            out["frame_sha"].append(sha)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["source"].append(src)
 
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "frame_sha")}
+            out: dict[str, list] = {
+                k: [] for k in ("media_id", "frame_idx", "ts_ms",
+                                "frame_sha", "width", "height", "source")}
             for payload in pdf[content_col]:  # column-zip, not iterrows()
                 payload = bytes(payload) if payload is not None else b""
                 if not payload:
                     continue
                 mid = hashlib.sha256(payload).hexdigest()
                 dur = None
+                samples = None
                 if mp4mini.looks_like_mp4(payload):
                     try:
                         dur = mp4mini.parse_mp4(payload)["duration_ms"]
+                        samples = mp4mini.mjpeg_frames(payload)
                     except mp4mini.Mp4Error:
-                        dur = None
+                        samples = None      # non-MJPEG codec → fake path
                 if dur is None:
                     _fmt, _w, _h, dur = _decode_fake(payload)
-                n = min(max_frames, max(1, dur // every_ms))
-                for i in range(int(n)):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["ts_ms"].append(i * every_ms)
-                    out["frame_sha"].append(hashlib.sha256(
-                        payload + i.to_bytes(4, "big")).hexdigest()[:16])
+                n = int(min(max_frames, max(1, dur // every_ms)))
+                for i in range(n):
+                    ts = i * every_ms
+                    if samples:
+                        # last sample at-or-before the schedule point
+                        cand = [s for s in samples if s[0] <= ts]
+                        s_ts, jpg = (cand[-1] if cand else samples[0])
+                        try:
+                            w, h, _c, pix = jpegmini.decode_jpeg(jpg)
+                            emit(out, mid, i, ts,
+                                 hashlib.sha256(pix).hexdigest()[:16],
+                                 w, h, "mjpeg")
+                        except Exception:
+                            emit(out, mid, i, ts,
+                                 hashlib.sha256(jpg).hexdigest()[:16],
+                                 0, 0, "error")
+                        continue
+                    emit(out, mid, i, ts,
+                         hashlib.sha256(
+                             payload + i.to_bytes(4, "big")).hexdigest()[:16],
+                         0, 0, "fake")
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_DDL)

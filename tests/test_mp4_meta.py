@@ -111,3 +111,94 @@ def test_decode_media_and_frame_sample_wiring(spark):
     frames = multimodal.frame_sample(df, every_ms=1000).collect()
     assert len(frames) == 16                      # min(max_frames, 90)
     assert frames[0]["ts_ms"] == 0 and frames[15]["ts_ms"] == 15_000
+
+
+# ---------------------------------------------------------------------------
+# MJPEG: real frame decode (round-4 verdict #4)
+# ---------------------------------------------------------------------------
+
+import glob
+import hashlib
+import os
+
+from databricks_pdf_ocr_spark.functions import jpegmini, mp4mini
+
+SPARK_IMAGES = os.environ.get(
+    "SPARK_GRAFT_IMAGE_DIR",
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin")
+
+
+def _jpeg_samples(n=3):
+    out = []
+    for f in sorted(glob.glob(os.path.join(SPARK_IMAGES, "**", "*.jpg"),
+                              recursive=True)):
+        data = open(f, "rb").read()
+        try:
+            jpegmini.decode_jpeg(data)
+        except jpegmini.JpegError:
+            continue
+        out.append(data)
+        if len(out) == n:
+            break
+    return out
+
+
+needs_jpegs = pytest.mark.skipif(
+    not os.path.isdir(SPARK_IMAGES),
+    reason="Spark-distribution test images not found")
+
+
+@needs_jpegs
+def test_mjpeg_container_roundtrip():
+    """write_mjpeg → video_samples/mjpeg_frames round-trips the exact
+    embedded JPEG bytes with the constant-rate timestamps."""
+    frames = _jpeg_samples()
+    assert len(frames) >= 2
+    mp4 = mp4mini.write_mjpeg(frames, fps=2, width=300, height=200)
+    meta = parse_mp4(mp4)
+    assert meta["duration_ms"] == len(frames) * 500
+    assert meta["tracks"][0]["handler"] == "vide"
+    codec, samples = mp4mini.video_samples(mp4)
+    assert codec == "jpeg" and len(samples) == len(frames)
+    got = mp4mini.mjpeg_frames(mp4)
+    assert [b for _, b in got] == frames
+    assert [t for t, _ in got] == [i * 500 for i in range(len(frames))]
+
+
+@needs_jpegs
+def test_frame_sample_decodes_real_mjpeg_frames(spark):
+    """Pixel parity: every sampled frame's sha/dims must equal a direct
+    per-frame jpegmini decode of the embedded JPEG — the frames are
+    REAL, not the deterministic fake."""
+    frames = _jpeg_samples()
+    mp4 = mp4mini.write_mjpeg(frames, fps=1, width=300, height=200)
+    df = spark.createDataFrame([("v.mp4", mp4)],
+                               "name string, content binary")
+    rows = multimodal.frame_sample(df, every_ms=1000,
+                                   max_frames=len(frames)).collect()
+    assert len(rows) == len(frames)
+    for i, r in enumerate(sorted(rows, key=lambda r: r["frame_idx"])):
+        w, h, _c, pix = jpegmini.decode_jpeg(frames[i])
+        assert r["source"] == "mjpeg"
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["frame_sha"] == hashlib.sha256(pix).hexdigest()[:16]
+
+
+def test_frame_sample_non_mjpeg_keeps_fake_boundary(spark):
+    """A container without an MJPEG sample table keeps the documented
+    deterministic fake path, loudly labeled."""
+    good = mp4_bytes()
+    df = spark.createDataFrame([("v.mp4", good)],
+                               "name string, content binary")
+    rows = multimodal.frame_sample(df, every_ms=1000).collect()
+    assert rows and all(r["source"] == "fake" for r in rows)
+
+
+def test_mjpeg_frames_rejects_non_mjpeg_codec():
+    frames = [b"\xff\xd8fake\xff\xd9"]
+    mp4 = mp4mini.write_mjpeg(frames, fps=1)
+    i = mp4.index(b"stsd") + 16                 # stsd entry fourcc
+    assert mp4[i:i + 4] == b"jpeg"
+    patched = mp4[:i] + b"avc1" + mp4[i + 4:]
+    with pytest.raises(Mp4Error, match="not Motion-JPEG"):
+        mp4mini.mjpeg_frames(patched)
