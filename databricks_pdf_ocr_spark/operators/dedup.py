@@ -335,7 +335,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
                        b_col: str = "doc_b",
-                       max_iter: int = 20) -> DataFrame:
+                       max_iter: int = 20,
+                       stats: dict | None = None) -> DataFrame:
     """Connected components over verified near-dup pairs:
     ``(node, component)`` where component = the smallest node id
     reachable through the pair graph.
@@ -346,19 +347,27 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
     routinely transitive (template families, mirror chains).  Components
     give one canonical survivor per cluster.
 
-    Spark shape: iterative min-label propagation — each round is one
-    equi-join (labels across edges) + one hash-agg min, i.e. the
-    standard large-graph CC pattern (GraphX/Pregel's small-star
-    cousin); rounds needed = graph diameter, which for near-dup
-    clusters is small.  Each round ``localCheckpoint``s its labels:
+    Spark shape: FRONTIER min-label propagation (round-4 verdict #8) —
+    labels only move along edges out of nodes that improved last round,
+    so each round joins the edge table against the (shrinking) frontier
+    instead of the full label set, and convergence is detected the
+    moment the frontier is empty — on the common sparse graph (mostly
+    2-node components, diameter 1) that is ONE small frontier round
+    after the first sweep, not a second full-graph no-change sweep.
+    Rounds needed = graph diameter, which for near-dup clusters is
+    small.  Each round ``localCheckpoint``s labels AND frontier:
     ``persist`` alone caches DATA but leaves the LOGICAL PLAN nesting
     round-over-round, and by ~7 rounds the plan tree OOMs the driver
     (caught by the random-graph pytest) — checkpointing is the lineage
     cut every iterative DataFrame algorithm needs (a real cluster would
     use ``checkpoint()`` with a reliable dir for fault tolerance).  The
-    convergence check is a control-plane count.  Raises loudly if
-    ``max_iter`` rounds don't converge rather than returning a partial
-    labeling.
+    convergence check is a control-plane count OF THE FRONTIER (cheap).
+    Raises loudly if ``max_iter`` rounds don't converge rather than
+    returning a partial labeling.
+
+    ``stats``: optional dict the caller passes to receive
+    ``{"rounds": <improvement rounds run>}`` — the bench/round-count
+    assertion hook.
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
@@ -370,6 +379,8 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
         # jobs entirely
         if edges.count() == 0:
             from pyspark.sql import types as T
+            if stats is not None:
+                stats["rounds"] = 0
             t = pairs.schema[a_col].dataType
             return pairs.sparkSession.createDataFrame(
                 [], T.StructType([T.StructField("node", t),
@@ -377,19 +388,34 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
         # eager localCheckpoint: materializes AND truncates plan lineage
         labels = (edges.select(F.col("src").alias("node")).distinct()
                   .withColumn("comp", F.col("node")).localCheckpoint())
-        for _ in range(max_iter):
-            prop = (edges.join(labels, edges["src"] == labels["node"])
-                    .select(F.col("dst").alias("node"), F.col("comp")))
-            new_labels = (labels.select("node", "comp").union(prop)
-                          .groupBy("node").agg(F.min("comp").alias("comp"))
-                          .localCheckpoint())
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .filter(F.col("n.comp") != F.col("o.comp"))
-                       .count())                 # control-plane scalar
-            labels = new_labels
-            if changed == 0:
+        frontier = labels                       # round 0: everyone moves
+        rounds = 0
+        for it in range(max_iter + 1):
+            # candidate labels reachable FROM the frontier only
+            cand = (edges.join(frontier,
+                               edges["src"] == frontier["node"])
+                    .select(F.col("dst").alias("node"), F.col("comp"))
+                    .groupBy("node").agg(F.min("comp").alias("cand")))
+            improved = (cand.join(labels, "node")
+                        .filter(F.col("cand") < F.col("comp"))
+                        .select("node", F.col("cand").alias("comp"))
+                        .localCheckpoint())
+            if improved.count() == 0:           # control-plane scalar
+                if stats is not None:
+                    stats["rounds"] = rounds
                 return labels
+            if it == max_iter:
+                break                           # improved but out of budget
+            rounds += 1
+            labels = (labels.alias("l")
+                      .join(improved.select(
+                          "node", F.col("comp").alias("new_comp")),
+                          "node", "left")
+                      .select("node",
+                              F.coalesce("new_comp", F.col("l.comp"))
+                              .alias("comp"))
+                      .localCheckpoint())
+            frontier = improved
         raise ValueError(
             f"neardup_components did not converge in {max_iter} rounds — "
             f"pathological graph diameter; raise max_iter")

@@ -103,7 +103,8 @@ def run_curate(spark, args) -> dict:
     # chains are routinely transitive at web scale) --------------------------
     pairs = dedup.minhash_lsh_pairs(exact_kept, hash_mode=args.hash_mode,
                                     verify_threshold=args.neardup_jaccard)
-    losers = (dedup.neardup_components(pairs)
+    cc_stats: dict = {}
+    losers = (dedup.neardup_components(pairs, stats=cc_stats)
               .filter(F.col("comp") != F.col("node"))
               .select(F.col("node").alias("doc_id")))
     neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
@@ -130,6 +131,7 @@ def run_curate(spark, args) -> dict:
 
     stats = {"out": args.out, **{k: obs.get[k]
                                  for k in ("docs", "ws_tokens", "bpe_tokens")},
+             "components_rounds": cc_stats.get("rounds"),
              "elapsed_sec": round(time.time() - t0, 2)}
     return stats
 

@@ -48,6 +48,10 @@ def test_curate_end_to_end(spark, curated_env):
         assert c in got.columns
     assert stats["docs"] == got.count() > 0
     assert stats["ws_tokens"] > 0
+    # frontier propagation converges in ≤ diameter rounds on this sparse
+    # corpus (round-4 verdict #8: no needless full no-change sweeps)
+    assert stats["components_rounds"] is not None
+    assert stats["components_rounds"] <= 3
 
 
 def test_curate_quality_gate_and_sampling(spark, curated_env):

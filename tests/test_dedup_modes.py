@@ -84,9 +84,13 @@ def test_neardup_components_transitive_chain(spark):
     pairs = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")],
         "doc_a string, doc_b string")
+    st = {}
     comp = {r["node"]: r["comp"]
-            for r in dedup.neardup_components(pairs).collect()}
+            for r in dedup.neardup_components(pairs, stats=st).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # frontier propagation: rounds == graph diameter (2 for a-b-c), no
+    # extra full-graph no-change sweep
+    assert st["rounds"] == 2
 
     # long chain: diameter 6 needs several rounds; max_iter=1 must be loud
     chain = spark.createDataFrame(
