@@ -93,6 +93,55 @@ def ingest_available(spark: SparkSession, landing_dir: str, target_dir: str,
     q.awaitTermination()
 
 
+def start_warc_ingestion_stream(spark: SparkSession, landing_dir: str,
+                                target_dir: str, checkpoint_dir: str,
+                                glob: str = "*.warc.gz",
+                                max_files_per_trigger: int | None = 8,
+                                max_record_bytes: int | None = None):
+    """Streaming crawl mouth: new .warc.gz segments landing in a
+    directory are drained exactly-once into the WARC record table
+    (``sources/warc.WARC_RECORD_DDL``), the streaming twin of
+    ``warc.read_warc_segments``.
+
+    Shape: binaryFile stream (one task per segment — gzip unsplittable)
+    → the SAME streaming-decompress ``warc_records`` mapInPandas kernel
+    (stateless, so it runs unchanged under Structured Streaming) →
+    checkpointed append sink.  ``maxFilesPerTrigger`` caps segments per
+    micro-batch: segments are ~1 GB gz, so the cap IS the ingest memory
+    budget.  The latest-capture-per-URI dedup (``warc_to_documents``)
+    stays a BATCH step downstream — it needs a global window over
+    (target_uri, warc_date), which append-mode streaming cannot
+    express; landing raw records exactly-once and curating in batch is
+    the standard crawl-lake split.
+
+    Returns the StreamingQuery; callers ``awaitTermination()``.
+    """
+    from ..sources import warc as warc_src
+
+    src = binary_file_stream(spark, landing_dir, glob, max_files_per_trigger)
+    recs = warc_src.warc_records(
+        src.select("path", "content"),
+        max_record_bytes=max_record_bytes or warc_src.DEFAULT_MAX_RECORD)
+    return (recs.writeStream
+            .format("parquet")
+            .outputMode("append")
+            .option("path", target_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def ingest_warc_available(spark: SparkSession, landing_dir: str,
+                          target_dir: str, checkpoint_dir: str,
+                          glob: str = "*.warc.gz",
+                          max_files_per_trigger: int | None = 8) -> None:
+    """Run one drain of the WARC landing directory."""
+    q = start_warc_ingestion_stream(spark, landing_dir, target_dir,
+                                    checkpoint_dir, glob,
+                                    max_files_per_trigger)
+    q.awaitTermination()
+
+
 def documents_stream(spark: SparkSession, input_dir: str,
                      schema) -> DataFrame:
     """Streaming scan of an interleaved-documents parquet directory — lets
