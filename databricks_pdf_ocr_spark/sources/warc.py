@@ -238,13 +238,44 @@ def charset_of(content_type: str | None) -> str:
     return "utf-8"
 
 
+#: prescan window for an HTML <meta> charset declaration (WHATWG: 1024)
+_META_SCAN = 1024
+_META_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:+-]+)",
+                      re.IGNORECASE)
+
+
+def sniff_charset(payload: bytes, content_type: str | None) -> str:
+    """WHATWG-order charset resolution: BOM > transport (Content-Type
+    ``charset=``) > HTML ``<meta>`` prescan of the first 1 KiB > utf-8.
+    Real crawls routinely declare the charset only in the document
+    (``<meta charset=…>`` / ``http-equiv`` form) — header-only
+    resolution mojibakes those."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"                 # codec consumes the BOM
+    if content_type and _CHARSET_RE.search(content_type):
+        return charset_of(content_type)
+    head = payload[:_META_SCAN]
+    if b"<" in head:                    # only prescan markup-ish bodies
+        m = _META_RE.search(head)
+        if m:
+            try:
+                return codecs.lookup(m.group(1).decode("latin-1")).name
+            except LookupError:
+                pass
+    return "utf-8"
+
+
 def decode_payload(payload: bytes | None, content_type: str | None) -> str:
-    """Bytes → text by declared charset, ``errors='replace'`` (truly
-    lossy — a latin-1/truncated-multibyte crawl body must become a
-    degraded document, never a failed job)."""
+    """Bytes → text by sniffed charset (BOM > header > <meta> prescan),
+    ``errors='replace'`` (truly lossy — a latin-1/truncated-multibyte
+    crawl body must become a degraded document, never a failed job)."""
     if payload is None:
         return ""
-    return bytes(payload).decode(charset_of(content_type), errors="replace")
+    payload = bytes(payload)
+    return payload.decode(sniff_charset(payload, content_type),
+                          errors="replace")
 
 
 def decoded_text(payload_col: str = "payload",

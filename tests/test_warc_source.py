@@ -224,3 +224,28 @@ def test_segment_to_documents_to_extraction(spark, tmp_path):
     assert any("hello crawl" in t for t in texts)
     assert any("para one" in t for t in texts)
     assert any("plain text body here" in t for t in texts)
+
+
+def test_meta_charset_prescan_and_bom():
+    """WHATWG order: BOM > HTTP header charset > <meta> prescan > utf-8."""
+    # header absent, <meta charset> present
+    body = '<html><head><meta charset="iso-8859-1"></head>' \
+           '<body>café</body></html>'
+    assert warc.decode_payload(body.encode("latin-1"),
+                               "text/html") == body
+    # http-equiv form
+    body2 = ('<html><head><meta http-equiv="Content-Type" '
+             'content="text/html; charset=ISO-8859-1"></head>'
+             '<body>précis</body></html>')
+    assert warc.decode_payload(body2.encode("latin-1"),
+                               "text/html") == body2
+    # BOM wins over a WRONG header declaration
+    b16 = "straße".encode("utf-16")            # BOM-led
+    assert warc.decode_payload(
+        b16, "text/plain; charset=latin-1") == "straße"
+    # header wins over meta when both present
+    body3 = '<meta charset="utf-16"><p>plain ascii</p>'
+    assert warc.decode_payload(
+        body3.encode(), "text/html; charset=utf-8") == body3
+    # neither: lossy utf-8 default
+    assert warc.sniff_charset(b"just bytes", None) == "utf-8"
