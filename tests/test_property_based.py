@@ -100,3 +100,70 @@ def test_codec_parsers_never_hang_on_garbage(data):
                 fn(payload)
             except Exception:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# WARC kernels (r5)
+# ---------------------------------------------------------------------------
+
+def _chunk(body: bytes, sizes: list[int]) -> bytes:
+    """RFC 7230 §4.1 framing with an arbitrary chunk-size split."""
+    out, pos = bytearray(), 0
+    for s in sizes:
+        piece = body[pos:pos + s]
+        if not piece:
+            break
+        out += f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n"
+        pos += len(piece)
+    rest = body[pos:]
+    if rest:
+        out += f"{len(rest):x}".encode() + b"\r\n" + rest + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=400),
+       st.lists(st.integers(min_value=1, max_value=64), min_size=0,
+                max_size=8))
+def test_dechunk_roundtrip_arbitrary_splits(body, sizes):
+    from databricks_pdf_ocr_spark.sources.warc import _dechunk
+    assert _dechunk(_chunk(body, sizes)) == body
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_dechunk_never_crashes_on_garbage(data):
+    from databricks_pdf_ocr_spark.sources.warc import _dechunk
+    out = _dechunk(data)           # malformed framing → raw passthrough
+    assert isinstance(out, bytes)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from([None, "text/html", "text/html; charset=utf-8",
+                        "text/html; charset=latin-1",
+                        "text/plain; charset=utf-16",
+                        "text/plain; charset=bogus"]))
+def test_decode_payload_total_function(payload, ctype):
+    """decode_payload must NEVER raise, whatever bytes a crawl hands it
+    (the ANSI F.decode failure mode this replaces)."""
+    from databricks_pdf_ocr_spark.sources.warc import decode_payload
+    out = decode_payload(payload, ctype)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1,
+                max_size=6),
+       st.booleans(), st.integers(min_value=0, max_value=5))
+def test_warc_writer_reader_roundtrip(bodies, gz, n_resources):
+    """Arbitrary bodies through the writer → streaming reader returns
+    exactly the records, in order, byte-identical."""
+    from databricks_pdf_ocr_spark.sources import warc
+    recs = [{"type": "resource", "uri": f"http://p/{i}", "body": b}
+            for i, b in enumerate(bodies)]
+    data = warc.write_warc(recs, gzip_per_record=gz)
+    out = list(warc.parse_warc(data))
+    assert len(out) == len(bodies)
+    assert [r["body"] for r in out] == bodies
