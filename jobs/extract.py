@@ -225,6 +225,17 @@ def load_input(spark, spec: str, cfg: ExtractConfig):
         df = fixtures.fixture_df(spark, seed, n_docs, fixtures.BENCH)
         fingerprint = f"fixture:{seed}:{n_docs}"
         return df, fingerprint
+    if spec.startswith("warc:"):
+        # crawl mouth: .warc.gz segment directory → streaming record
+        # parse → latest-capture URI dedup → the documents contract,
+        # extracted in the same run (r5; the batch twin of the
+        # streaming ingest).  Incremental resume works unchanged:
+        # doc_id = sha2(target_uri) is stable across recrawls.
+        from databricks_pdf_ocr_spark.sources import warc as warc_src
+        seg_dir = spec[len("warc:"):]
+        df = warc_src.warc_to_documents(
+            warc_src.read_warc_segments(spark, seg_dir))
+        return df, f"warc:{seg_dir}"
     # explicit schema (the declared input contract): no footer-sampling
     # inference job on the driver before the pipeline even starts
     from databricks_pdf_ocr_spark.schemas import DOCUMENTS_SCHEMA

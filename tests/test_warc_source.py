@@ -249,3 +249,32 @@ def test_meta_charset_prescan_and_bom():
         body3.encode(), "text/html; charset=utf-8") == body3
     # neither: lossy utf-8 default
     assert warc.sniff_charset(b"just bytes", None) == "utf-8"
+
+
+def test_extract_job_warc_input(spark, tmp_path):
+    """The spark-submit job accepts --input warc:<segment dir>: crawl
+    segments flow through the full checkpointed extraction (incremental
+    rerun processes nothing new)."""
+    from jobs.extract import build_parser, run_job
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "s0.warc.gz").write_bytes(warc.write_warc([
+        {"type": "response", "uri": f"http://w.example/p{i}",
+         "body": f"<html><h1>T{i}</h1><p>warc job body {i}</p></html>"
+         .encode(), "http_content_type": "text/html"}
+        for i in range(6)]))
+    tables = str(tmp_path / "t")
+    stats, rc = run_job(spark, build_parser().parse_args(
+        ["--input", f"warc:{seg_dir}", "--tables", tables,
+         "--n-buckets", "4", "--partitions", "4"]))
+    assert rc == 0 and stats["docs_done"] == 6
+    ext = spark.read.parquet(f"{tables}/extracted_documents")
+    texts = [s["text"] for r in ext.collect() for s in r["spans"]]
+    assert any("warc job body 3" in t for t in texts)
+
+    # incremental rerun: nothing new
+    stats2, rc2 = run_job(spark, build_parser().parse_args(
+        ["--input", f"warc:{seg_dir}", "--tables", tables,
+         "--n-buckets", "4", "--partitions", "4"]))
+    assert rc2 == 0 and stats2["docs_assembled"] == 0
