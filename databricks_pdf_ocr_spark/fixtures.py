@@ -334,6 +334,16 @@ def warc_corpus_records(seed: int, n_segments: int = 6,
                              "body": b"\x89PNG fake" + bytes([s, i]),
                              "http_content_type": "image/png",
                              "date": date})
+        # wire-compressed capture: crawls store the raw server response,
+        # so Content-Encoding: gzip bodies are routine
+        recs.append({"type": "response",
+                     "uri": f"http://site{s}.example/gzipped",
+                     "body": f"<html><p>wire-gzipped {_paragraph(rng)}"
+                     "</p></html>".encode(),
+                     "http_content_type": "text/html; charset=utf-8",
+                     "content_encoding": "gzip" if s % 2 else "deflate",
+                     "date": f"2026-04-{10 + s:02d}T00:00:00Z",
+                     "chunked": s % 3 == 0})
         # cross-segment re-crawl: segment s also re-captures a page of
         # segment (s-1) with a LATER date — latest capture must win
         if s > 0:

@@ -54,6 +54,7 @@ import gzip
 import hashlib
 import io
 import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -190,13 +191,42 @@ def _dechunk(body: bytes) -> bytes:
         pos += 2
 
 
+def _decompress_entity(body: bytes, encoding: str,
+                       max_bytes: int = DEFAULT_MAX_RECORD) -> bytes:
+    """Undo HTTP ``Content-Encoding: gzip|x-gzip|deflate`` (both the
+    zlib-wrapped and the raw-deflate dialect real servers emit).
+    Bounded: inflation beyond ``max_bytes`` keeps the raw bytes rather
+    than a truncated text (a zip-bomb must not OOM the task).  Any
+    decode failure passes the raw bytes through — same lossy-not-fatal
+    contract as the charset layer."""
+    enc = encoding.lower()
+    wbits: list[int] = []
+    if "gzip" in enc:                       # also matches x-gzip
+        wbits = [16 + zlib.MAX_WBITS]
+    elif "deflate" in enc:
+        wbits = [zlib.MAX_WBITS, -zlib.MAX_WBITS]
+    for w in wbits:
+        try:
+            d = zlib.decompressobj(w)
+            out = d.decompress(body, max_bytes)
+            if d.unconsumed_tail:
+                return body                 # exceeded the inflation cap
+            return out
+        except zlib.error:
+            continue
+    return body
+
+
 def split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     """HTTP response message → (status, content-type, entity body).
 
     ``Transfer-Encoding: chunked`` entity bodies are de-framed (real
     Common Crawl response records carry them; passing the framing
     through would leak hex-length lines into the document text —
-    round-4 ADVICE low)."""
+    round-4 ADVICE low), then ``Content-Encoding: gzip/deflate`` is
+    undone (crawl captures store the wire bytes; without this the
+    "text" fed to extraction is compressed garbage).  TE unwraps before
+    CE — that is the order the sender applied them in reverse."""
     sep = body.find(b"\r\n\r\n")
     if sep < 0 or not body[:5].startswith(b"HTTP/"):
         return None, None, body
@@ -207,6 +237,7 @@ def split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
         status = None
     ctype = None
     chunked = False
+    cenc = None
     for ln in head[1:]:
         k, _, v = ln.partition(b":")
         key = k.decode("latin-1").strip().lower()
@@ -215,9 +246,13 @@ def split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
         elif key == "transfer-encoding" and \
                 "chunked" in v.decode("latin-1").lower():
             chunked = True
+        elif key == "content-encoding" and cenc is None:
+            cenc = v.decode("latin-1").strip()
     entity = body[sep + 4:]
     if chunked:
         entity = _dechunk(entity)
+    if cenc:
+        entity = _decompress_entity(entity, cenc)
     return status, ctype, entity
 
 
@@ -457,10 +492,13 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
 
 def write_warc(records: list[dict], gzip_per_record: bool = True) -> bytes:
     """records: ``[{type, uri, body, http_content_type?, status?, date?,
-    chunked?, extra_http?}]`` → WARC bytes (per-record gzip members when
-    ``gzip_per_record``, the Common Crawl layout; else one plain
-    stream).  ``chunked=True`` frames the entity body per RFC 7230 §4.1
-    (two chunks) and declares ``Transfer-Encoding: chunked``."""
+    chunked?, content_encoding?}]`` → WARC bytes (per-record gzip
+    members when ``gzip_per_record``, the Common Crawl layout; else one
+    plain stream).  ``chunked=True`` frames the entity body per RFC
+    7230 §4.1 (two chunks) and declares ``Transfer-Encoding: chunked``;
+    ``content_encoding='gzip'|'deflate'`` compresses the entity and
+    declares the header (CE applied before TE, as a real sender
+    would)."""
     out = io.BytesIO()
     for i, r in enumerate(records):
         body = r["body"]
@@ -468,14 +506,19 @@ def write_warc(records: list[dict], gzip_per_record: bool = True) -> bytes:
             status = r.get("status", 200)
             hct = r.get("http_content_type", "text/html")
             extra = ""
+            cenc = r.get("content_encoding")
+            if cenc:
+                body = (gzip.compress(body) if "gzip" in cenc
+                        else zlib.compress(body))
+                extra += f"Content-Encoding: {cenc}\r\n"
             if r.get("chunked"):
                 cut = max(1, len(body) // 2)
                 body = (f"{cut:x}".encode() + b"\r\n" + body[:cut] + b"\r\n"
                         + f"{len(body) - cut:x}".encode() + b"\r\n"
                         + body[cut:] + b"\r\n0\r\n\r\n")
-                extra = "Transfer-Encoding: chunked\r\n"
+                extra += "Transfer-Encoding: chunked\r\n"
             else:
-                extra = f"Content-Length: {len(body)}\r\n"
+                extra += f"Content-Length: {len(body)}\r\n"
             body = (f"HTTP/1.1 {status} OK\r\n"
                     f"Content-Type: {hct}\r\n"
                     + extra + "\r\n").encode() + body

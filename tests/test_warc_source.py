@@ -278,3 +278,35 @@ def test_extract_job_warc_input(spark, tmp_path):
         ["--input", f"warc:{seg_dir}", "--tables", tables,
          "--n-buckets", "4", "--partitions", "4"]))
     assert rc2 == 0 and stats2["docs_assembled"] == 0
+
+
+def test_content_encoding_unwrapped():
+    """Content-Encoding: gzip/x-gzip/deflate (zlib AND raw dialects)
+    entity bodies are inflated — crawl captures store wire bytes, which
+    would otherwise reach extraction as compressed garbage.  Bounded:
+    a zip-bomb keeps the raw bytes instead of inflating past the cap;
+    garbage under a declared encoding passes through."""
+    import zlib as _z
+
+    body = b"<html><p>the actual text</p></html>"
+    for enc in ("gzip", "x-gzip", "deflate"):
+        data = warc.write_warc([
+            {"type": "response", "uri": "http://ce.example/a", "body": body,
+             "http_content_type": "text/html", "content_encoding": enc}])
+        _st, _ct, ent = warc.split_http(next(warc.parse_warc(data))["body"])
+        assert ent == body, enc
+    # CE under TE: unchunk first, then inflate
+    data = warc.write_warc([
+        {"type": "response", "uri": "http://ce.example/b", "body": body,
+         "http_content_type": "text/html", "content_encoding": "gzip",
+         "chunked": True}])
+    _st, _ct, ent = warc.split_http(next(warc.parse_warc(data))["body"])
+    assert ent == body
+    # raw-deflate dialect (no zlib header), as some servers send
+    raw = _z.compress(b"raw dialect")[2:-4]
+    assert warc._decompress_entity(raw, "deflate") == b"raw dialect"
+    # garbage + inflation cap
+    assert warc._decompress_entity(b"junk", "gzip") == b"junk"
+    bomb = _z.compress(b"\x00" * 10_000_000)
+    out = warc._decompress_entity(bomb, "deflate", max_bytes=1000)
+    assert out == bomb                     # refused to inflate past cap
