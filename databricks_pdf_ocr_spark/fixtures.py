@@ -334,6 +334,20 @@ def warc_corpus_records(seed: int, n_segments: int = 6,
                              "body": b"\x89PNG fake" + bytes([s, i]),
                              "http_content_type": "image/png",
                              "date": date})
+        # link-rich page: absolute outlinks for the link-graph operator
+        # (hosts deterministic from the rng), relative links ignored
+        n_links = rng.randint(2, 5)
+        links = "".join(
+            f"<a href='http://{rng.choice(('cdn', 'blog', 'shop', 'www'))}"
+            f".site{rng.randint(0, n_segments - 1)}.example/p{j}'>L{j}</a> "
+            for j in range(n_links))
+        recs.append({"type": "response",
+                     "uri": f"http://site{s}.example/links",
+                     "body": (f"<html><body><main><p>{_sentence(rng)} "
+                              f"{links}<a href='/relative/x'>rel</a>"
+                              "</p></main></body></html>").encode(),
+                     "http_content_type": "text/html; charset=utf-8",
+                     "date": f"2026-05-{10 + s:02d}T00:00:00Z"})
         # wire-compressed capture: crawls store the raw server response,
         # so Content-Encoding: gzip bodies are routine
         recs.append({"type": "response",

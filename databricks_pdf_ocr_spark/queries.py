@@ -1158,6 +1158,36 @@ def warc_e2e(spark, sf_dir):
                     F.col("s.media_ref").alias("media_ref")))
 
 
+@register("warc_outlink_hosts", """
+SELECT host, n_links
+FROM read_parquet('/root/repo/tests/data/golden_warc_outlinks.parquet')
+""")
+def warc_outlink_hosts(spark, sf_dir):
+    """Link-graph extraction over crawl documents: absolute ``href``
+    hosts per html span → host-level outlink counts (the first stage of
+    any URL-graph / domain-reputation signal in a crawl curation
+    pipeline).  Pure JVM path: ``regexp_extract_all`` + explode + one
+    hash-agg — no UDF.
+
+    Oracle: Python ``re`` over the single-process golden documents
+    (independent regex engine + counting), committed as parquet."""
+    from . import fixtures
+    from .sources import warc as warc_src
+
+    segs = fixtures.warc_corpus_segments(seed=42, n_segments=6)
+    files = spark.createDataFrame(
+        [(f"mem:seg-{i:05d}.warc.gz", b) for i, b in enumerate(segs)],
+        "path string, content binary").repartition(4)
+    docs = warc_src.warc_to_documents(warc_src.warc_records(files))
+    pat = r"(?i)href\s*=\s*[\"']https?://([^/\"'>]+)"
+    return (docs.select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "html")
+            .select(F.explode(
+                F.regexp_extract_all("s.text", F.lit(pat), 1)).alias("h"))
+            .groupBy(F.lower("h").alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_links")))
+
+
 @register("pdf_images_e2e", """
 SELECT doc_id, page_idx, image_idx, format, width, height,
        content_len, content_sha, extract_ok, error_message

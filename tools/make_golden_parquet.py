@@ -165,11 +165,39 @@ def warc_golden_table() -> pa.Table:
     })
 
 
+#: must mirror queries.warc_outlink_hosts exactly
+OUTLINK_RE = r"(?i)href\s*=\s*[\"']https?://([^/\"'>]+)"
+
+OUTLINK_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_warc_outlinks.parquet"
+
+
+def warc_outlinks_golden_table() -> pa.Table:
+    """Independent truth for the link-graph operator: Python ``re`` over
+    the single-process documents rows (vs Spark's JVM regex engine in
+    the query) — host → count of absolute outlinks."""
+    import re
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for _did, spans in warc_golden_rows():
+        for s in spans:
+            if s["kind"] == "html":
+                counts.update(
+                    h.lower() for h in re.findall(OUTLINK_RE, s["text"]))
+    hosts = sorted(counts)
+    return pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "n_links": pa.array([counts[h] for h in hosts], pa.int64()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
                         (PDFIMG_GOLDEN_PATH, pdf_images_golden_table()),
-                        (WARC_GOLDEN_PATH, warc_golden_table())):
+                        (WARC_GOLDEN_PATH, warc_golden_table()),
+                        (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
