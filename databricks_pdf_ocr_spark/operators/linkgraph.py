@@ -1,0 +1,76 @@
+"""Link-graph operators over crawl documents: outlink edges + host-level
+PageRank — the domain-reputation signal a crawl curation pipeline feeds
+its quality ladder (reference has no analogue; standard web-corpus
+practice per the original PageRank formulation).
+
+Scale shape: the edge build is the narrow regexp path of
+``queries.warc_outlink_hosts`` plus one distinct (hash-agg); PageRank
+iterations run on the HOST graph, orders of magnitude smaller than the
+corpus (one row per domain) — each iteration is one equi-join + one
+hash-agg, with the same per-round ``localCheckpoint`` lineage cut as
+``dedup.neardup_components`` (the iterative-DataFrame pattern this repo
+standardizes on).  The node count is a control-plane scalar (model
+size, like n_clusters in IVF).  Dangling-node mass is dropped (the
+simplified formulation; documented).
+
+Oracle: ``queries.warc_host_rank`` recomputes the SAME fixed-iteration
+recursion in DuckDB SQL from the committed edge-list golden
+(`tests/data/golden_warc_linkgraph.parquet`, itself built independently
+with Python ``re``), floor-scaled to int for cross-engine float parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: absolute-href host pattern — must match tools/make_golden_parquet.py
+OUTLINK_RE = r"(?i)href\s*=\s*[\"']https?://([^/\"'>]+)"
+HOST_RE = r"(?i)^https?://([^/]+)"
+
+
+def outlink_edges(docs: DataFrame, uri_col: str = "target_uri",
+                  spans_col: str = "spans") -> DataFrame:
+    """Documents (with their capture URI) → distinct (src_host,
+    dst_host) edges from absolute hrefs in html spans."""
+    return (docs
+            .select(F.lower(F.regexp_extract(uri_col, HOST_RE, 1))
+                    .alias("src_host"),
+                    F.explode(spans_col).alias("s"))
+            .filter(F.col("s.kind") == "html")
+            .select("src_host",
+                    F.explode(F.regexp_extract_all(
+                        "s.text", F.lit(OUTLINK_RE), 1)).alias("h"))
+            .select("src_host", F.lower("h").alias("dst_host"))
+            .filter(F.col("src_host") != "")
+            .distinct())
+
+
+def pagerank(edges: DataFrame, d: float = 0.85, iters: int = 3
+             ) -> DataFrame:
+    """Fixed-iteration power method over (src_host, dst_host) edges →
+    ``(host, rank)``.  rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v} rank_t(u)/deg(u).
+    """
+    nodes = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct().localCheckpoint())
+    n = nodes.count()                       # control-plane: model size
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - d) / n
+    outdeg = (edges.groupBy("src_host")
+              .agg(F.count(F.lit(1)).cast("double").alias("deg")))
+    contrib_src = edges.join(outdeg, "src_host")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        acc = (contrib_src
+               .join(ranks.withColumnRenamed("host", "src_host"),
+                     "src_host")
+               .select(F.col("dst_host").alias("host"),
+                       (F.col("rank") / F.col("deg")).alias("c"))
+               .groupBy("host").agg(F.sum("c").alias("acc")))
+        ranks = (nodes.join(acc, "host", "left")
+                 .select("host",
+                         (F.lit(base) + F.lit(d)
+                          * F.coalesce("acc", F.lit(0.0))).alias("rank"))
+                 .localCheckpoint())
+    return ranks

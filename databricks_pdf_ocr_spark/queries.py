@@ -1188,6 +1188,67 @@ def warc_outlink_hosts(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_links")))
 
 
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """DuckDB recomputes the SAME fixed-iteration power method from the
+    committed edge-list golden (chained CTEs, one per iteration)."""
+    prev, ctes = "r0", []
+    step = """
+{name} AS (
+  SELECT n.host,
+         (SELECT (1.0 - {d}) / n FROM params)
+         + {d} * COALESCE(s.acc, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_host AS host, sum(r.rank / o.deg) AS acc
+    FROM e JOIN {prev} r ON r.host = e.src_host
+           JOIN outdeg o ON o.src_host = e.src_host
+    GROUP BY e.dst_host) s ON s.host = n.host)"""
+    for i in range(1, iters + 1):
+        ctes.append(step.format(name=f"r{i}", prev=prev, d=d))
+        prev = f"r{i}"
+    return f"""
+WITH e AS (SELECT src_host, dst_host
+           FROM read_parquet('/root/repo/tests/data/golden_warc_linkgraph.parquet')),
+nodes AS (SELECT DISTINCT host FROM (
+  SELECT src_host AS host FROM e UNION SELECT dst_host FROM e)),
+params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src_host, CAST(count(*) AS DOUBLE) AS deg
+           FROM e GROUP BY 1),
+r0 AS (SELECT host, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+{','.join(ctes)}
+SELECT host, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6
+FROM {prev}
+"""
+
+
+@register("warc_host_rank", _pagerank_sql())
+def warc_host_rank(spark, sf_dir):
+    """Host-level PageRank over the crawl link graph (3 power
+    iterations, d=0.85, dangling mass dropped — the simplified
+    formulation): the domain-reputation signal of a crawl curation
+    ladder.  Spark builds the edges from the corpus (distributed regex
+    path) AND runs the iterations (equi-join + hash-agg per round,
+    per-round localCheckpoint lineage cut — the
+    ``neardup_components`` pattern); the DuckDB oracle recomputes the
+    identical recursion from the independently-built (Python re)
+    committed edge golden.  Floor-scaled int output for cross-engine
+    double parity."""
+    from . import fixtures
+    from .operators import linkgraph
+    from .sources import warc as warc_src
+
+    segs = fixtures.warc_corpus_segments(seed=42, n_segments=6)
+    files = spark.createDataFrame(
+        [(f"mem:seg-{i:05d}.warc.gz", b) for i, b in enumerate(segs)],
+        "path string, content binary").repartition(4)
+    docs = warc_src.warc_to_documents(warc_src.warc_records(files),
+                                      with_uri=True)
+    ranks = linkgraph.pagerank(linkgraph.outlink_edges(docs))
+    return ranks.select(
+        "host",
+        F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("rank_e6"))
+
+
 @register("pdf_images_e2e", """
 SELECT doc_id, page_idx, image_idx, format, width, height,
        content_len, content_sha, extract_ok, error_message

@@ -445,7 +445,8 @@ def warc_records_from_paths(paths: DataFrame, path_col: str = "path",
     return paths.mapInPandas(run, schema=WARC_RECORD_DDL)
 
 
-def warc_to_documents(records: DataFrame) -> DataFrame:
+def warc_to_documents(records: DataFrame,
+                      with_uri: bool = False) -> DataFrame:
     """Response records → the engine's interleaved-documents contract:
     ``(doc_id, spans)`` with one html/text span per page, ready for the
     extraction pipeline.  doc_id = sha256(target_uri) (stable across
@@ -474,16 +475,19 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     win = (Window.partitionBy("target_uri")
            .orderBy(F.col("warc_date").desc_nulls_last(),
                     F.col("record_id").desc_nulls_last()))
+    cols = [
+        F.sha2(F.col("target_uri"), 256).alias("doc_id"),
+        F.array(F.struct(
+            kind.alias("kind"),
+            decoded_text().alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans")]
+    if with_uri:
+        cols.append(F.col("target_uri"))
     return (records.filter(text_like)
             .withColumn("__rn", F.row_number().over(win))
             .filter(F.col("__rn") == 1)
-            .select(
-                F.sha2(F.col("target_uri"), 256).alias("doc_id"),
-                F.array(F.struct(
-                    kind.alias("kind"),
-                    decoded_text().alias("text"),
-                    F.lit(None).cast("string").alias("media_ref"),
-                    F.lit(0).alias("offset"))).alias("spans")))
+            .select(*cols))
 
 
 # ---------------------------------------------------------------------------

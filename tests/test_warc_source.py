@@ -310,3 +310,53 @@ def test_content_encoding_unwrapped():
     bomb = _z.compress(b"\x00" * 10_000_000)
     out = warc._decompress_entity(bomb, "deflate", max_bytes=1000)
     assert out == bomb                     # refused to inflate past cap
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """Distributed PageRank vs a dense numpy power iteration on a
+    hand-built graph (same simplified formulation: dangling mass
+    dropped)."""
+    import numpy as np
+
+    from databricks_pdf_ocr_spark.operators import linkgraph
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r["rank"]
+           for r in linkgraph.pagerank(df, d=0.85, iters=3).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        nxt = np.full(n, 0.15 / n)
+        for s, t in edges:
+            nxt[idx[t]] += 0.85 * r[idx[s]] / deg[idx[s]]
+        r = nxt
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-12, node
+    # ranks are a probability-ish vector (≤1 total; dangling mass lost)
+    assert 0 < sum(got.values()) <= 1.000001
+
+
+def test_outlink_edges_shape(spark):
+    from databricks_pdf_ocr_spark.operators import linkgraph
+
+    docs = spark.createDataFrame(
+        [("http://a.example/p", [{"kind": "html",
+          "text": "<a href='http://B.example/x'>l</a>"
+                  "<a href='http://b.example/y'>l</a>"
+                  "<a href='/rel'>r</a>", "media_ref": None, "offset": 0}]),
+         ("http://c.example/q", [{"kind": "text",
+          "text": "href='http://ignored.example/'", "media_ref": None,
+          "offset": 0}])],
+        "target_uri string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    got = {(r["src_host"], r["dst_host"])
+           for r in linkgraph.outlink_edges(docs).collect()}
+    # host lowercased, duplicates collapsed, text spans + relative ignored
+    assert got == {("a.example", "b.example")}

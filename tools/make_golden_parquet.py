@@ -192,12 +192,47 @@ def warc_outlinks_golden_table() -> pa.Table:
     })
 
 
+LINKGRAPH_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_warc_linkgraph.parquet"
+
+
+def warc_linkgraph_golden_table() -> pa.Table:
+    """Host→host edge list (src = page's own host, dst = absolute href
+    host, distinct, lowercased) from the single-process documents rows
+    with Python ``re`` — the committed input for the PageRank oracle
+    and the independent check of Spark's distributed edge build."""
+    import hashlib
+    import re
+
+    # invert doc_id back to host via the corpus URIs (doc_id = sha2(uri))
+    uri_of = {}
+    for recs in fixtures.warc_corpus_records(WARC_SEED, WARC_SEGMENTS):
+        for r in recs:
+            if r.get("uri"):
+                uri_of[hashlib.sha256(r["uri"].encode()).hexdigest()] = \
+                    r["uri"]
+    edges = set()
+    for did, spans in warc_golden_rows():
+        src = re.match(r"https?://([^/]+)", uri_of[did]).group(1).lower()
+        for s in spans:
+            if s["kind"] == "html":
+                for h in re.findall(OUTLINK_RE, s["text"]):
+                    edges.add((src, h.lower()))
+    rows = sorted(edges)
+    return pa.table({
+        "src_host": pa.array([a for a, _ in rows], pa.string()),
+        "dst_host": pa.array([b for _, b in rows], pa.string()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
                         (PDFIMG_GOLDEN_PATH, pdf_images_golden_table()),
                         (WARC_GOLDEN_PATH, warc_golden_table()),
-                        (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table())):
+                        (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table()),
+                        (LINKGRAPH_GOLDEN_PATH,
+                         warc_linkgraph_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
