@@ -113,6 +113,24 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = 16,
     return sig(vec_col)
 
 
+def assign_to_centroids(e: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(id, v) rows → (id, v, cluster): nearest-centroid argmin against
+    a broadcast centroid table via ``min_by`` — one hash aggregate.  (A
+    chained-when argmin over k aliased distance expressions gets
+    inline-substituted by Catalyst into an exponentially large Project —
+    OOMs the driver at k=16, dim=64.)"""
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cvec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda a, x: a + x)
+    pairs = e.crossJoin(F.broadcast(cdf)).withColumn("dist", dist)
+    return (pairs.groupBy("id")
+            .agg(F.min_by("cluster", F.struct("dist", "cluster"))
+                 .alias("cluster"),
+                 F.first("v").alias("v"))
+            .select("id", "v", "cluster"))
+
+
 def ivf_assign(embeddings: DataFrame, n_clusters: int = 16,
                iterations: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding") -> tuple[DataFrame, list]:
@@ -137,23 +155,10 @@ def ivf_assign(embeddings: DataFrame, n_clusters: int = 16,
     centroids = [list(r["v"]) for r in seed_rows]
 
     def assign(df: DataFrame, cents: list) -> DataFrame:
-        # broadcast the centroid table and take the argmin with min_by —
-        # one hash aggregate.  (A chained-when argmin over k aliased
-        # distance expressions gets inline-substituted by Catalyst into an
-        # exponentially large Project — OOMs the driver at k=16, dim=64.)
         cdf = spark.createDataFrame(
             [(ci, [float(x) for x in c]) for ci, c in enumerate(cents)],
             "cluster int, cvec array<double>")
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cvec"),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("double"), lambda a, x: a + x)
-        pairs = df.crossJoin(F.broadcast(cdf)).withColumn("dist", dist)
-        return (pairs.groupBy("id")
-                .agg(F.min_by("cluster", F.struct("dist", "cluster"))
-                     .alias("cluster"),
-                     F.first("v").alias("v"))
-                .select("id", "v", "cluster"))
+        return assign_to_centroids(df, cdf)
 
     for _ in range(iterations):
         assigned = assign(e, centroids)
@@ -274,6 +279,36 @@ def build_ivf_index(embeddings: DataFrame, io, table: str = "ivf_index",
         "cluster int, cvec array<double>")
     io.overwrite(cdf, table + "_centroids")
     return table
+
+
+def ivf_index_upsert(io, new_embeddings: DataFrame,
+                     table: str = "ivf_index", id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING centroid model and append them cluster-partitioned —
+    absorbing a corpus delta without re-running k-means over the full
+    corpus (at 100 TB a rebuild per ingest batch is a non-starter;
+    periodic re-clustering remains an offline maintenance op, exactly
+    like checkpoint compaction).
+
+    Idempotent: ids already present are skipped via an anti-join on a
+    column-pruned id scan of the index, so re-running a crashed ingest
+    batch appends nothing twice.  Returns the number of rows appended.
+
+    Scale shape: one broadcast of the model-sized centroid table, one
+    hash-agg argmin over ONLY the delta, one anti-join against the
+    pruned id column, and a partitioned append that touches only the
+    clusters the delta lands in.
+    """
+    cdf = io.read(table + "_centroids")
+    e = new_embeddings.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).alias("v"))
+    pending = e.join(io.read(table).select("id"), "id", "left_anti")
+    assigned = assign_to_centroids(pending, cdf).localCheckpoint()
+    n = assigned.count()
+    if n:
+        io.append(assigned, table, partition_by=["cluster"])
+    return int(n)
 
 
 def ivf_topk_indexed(io, queries: DataFrame, k: int = 5, nprobe: int = 4,

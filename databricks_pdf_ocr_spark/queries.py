@@ -752,12 +752,17 @@ FROM ranked WHERE rank <= {k}
 
 
 def _ann_ivf_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
-                 k=_ANN_K, n_queries=_ANN_NQ) -> str:
+                 k=_ANN_K, n_queries=_ANN_NQ, train_where: str = "") -> str:
     """DuckDB recomputation of ivf_topk: sha2-ordered centroid init, two
     unrolled Lloyd rounds (argmin assign → per-component mean, empty
     clusters keep their previous centroid), final assignment, nprobe
     nearest clusters per query, exact cosine re-rank — mirroring
-    similarity.ivf_assign/ivf_topk step for step."""
+    similarity.ivf_assign/ivf_topk step for step.
+
+    ``train_where``: optional predicate restricting the k-means legs
+    (init + Lloyd assigns) to a build corpus while the FINAL assignment
+    covers all vectors — the build-then-upsert recursion of
+    ``ann_ivf_upsert``."""
     def dist(emb: str, cvec: str) -> str:
         return (f"list_sum(list_transform(range(1, {dim + 1}), i -> "
                 f"(CAST({emb}[i] AS DOUBLE) - {cvec}[i]) * "
@@ -765,11 +770,13 @@ def _ann_ivf_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
 
     mean_list = "[" + ", ".join(
         f"avg(CAST(v[{i + 1}] AS DOUBLE))" for i in range(dim)) + "]"
+    train_sql = f"WHERE {train_where}" if train_where else ""
 
-    def assign(name: str, cents: str) -> str:
+    def assign(name: str, cents: str, where: str = "") -> str:
         return f"""{name} AS (
   SELECT e.vec_id AS id, e.embedding AS v, t.cluster
   FROM embeddings e CROSS JOIN {cents} t
+  {where}
   QUALIFY row_number() OVER (PARTITION BY e.vec_id
       ORDER BY {dist('e.embedding', 't.cvec')}, t.cluster) = 1)"""
 
@@ -786,11 +793,12 @@ WITH init AS (
               AS INT) - 1 AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
   FROM embeddings
+  {train_sql}
   QUALIFY row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR)))
           <= {n_clusters}),
-{assign('a1', 'init')},
+{assign('a1', 'init', train_sql)},
 {update('m1', 'c1', 'init', 'a1')},
-{assign('a2', 'c1')},
+{assign('a2', 'c1', train_sql)},
 {update('m2', 'c2', 'c1', 'a2')},
 {assign('af', 'c2')},
 probes AS (
@@ -814,6 +822,34 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM ranked WHERE rank <= {k}
 """
+
+
+@register("ann_ivf_upsert", _ann_ivf_sql(train_where="vec_id < 256"))
+def ann_ivf_upsert(spark, sf_dir):
+    """Incremental index maintenance: build the IVF index on the first
+    256 vectors, UPSERT the rest against the frozen centroid model
+    (``similarity.ivf_index_upsert`` — no k-means rerun, cluster-
+    partitioned append, idempotent re-run verified in-line), then probe
+    the merged index.
+
+    Oracle: the same recursion with the k-means legs restricted to the
+    build corpus and the FINAL assignment over all vectors —
+    ``_ann_ivf_sql(train_where=...)``."""
+    import tempfile
+
+    from .sources.tables import TableIO
+
+    emb = _t(spark, sf_dir, "embeddings")
+    build = emb.filter(F.col("vec_id") < 256)
+    delta = emb.filter(F.col("vec_id") >= 256)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    io = TableIO(spark, tempfile.mkdtemp(prefix="ivf_upsert_"))
+    similarity.build_ivf_index(build, io, n_clusters=16)
+    n1 = similarity.ivf_index_upsert(io, delta)
+    n2 = similarity.ivf_index_upsert(io, delta)   # idempotent re-run
+    assert n1 > 0 and n2 == 0, (n1, n2)
+    return similarity.ivf_topk_indexed(io, q, k=5, nprobe=4)
 
 
 @register("embed_quantize", """
