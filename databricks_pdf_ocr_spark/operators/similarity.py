@@ -374,6 +374,29 @@ def build_lsh_index(embeddings: DataFrame, io, table: str = "lsh_index",
     return table
 
 
+def lsh_index_upsert(io, new_embeddings: DataFrame,
+                     table: str = "lsh_index", dim: int = 16,
+                     n_planes: int = 12, bands: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> int:
+    """Incremental signature-index maintenance: band signatures are a
+    pure per-vector function of the FROZEN hyperplanes, so absorbing a
+    corpus delta is exactly the signature matmul over the delta plus an
+    append — no global state to revisit (the LSH twin of
+    ``ivf_index_upsert``).  Idempotent via an anti-join on the pruned
+    id column; returns rows appended (rows = |delta| × bands)."""
+    existing = io.read(table).select(
+        F.col("neighbor_id").alias("id")).distinct()
+    pending = (new_embeddings
+               .join(existing, F.col(id_col) == F.col("id"), "left_anti"))
+    banded = _banded(pending, id_col, vec_col, "neighbor_id",
+                     dim, n_planes, bands).localCheckpoint()
+    n = banded.count()
+    if n:
+        io.append(banded, table)
+    return int(n)
+
+
 def lsh_ann_topk_indexed(io, queries: DataFrame, k: int = 5,
                          table: str = "lsh_index", dim: int = 16,
                          n_planes: int = 12, bands: int = 3,

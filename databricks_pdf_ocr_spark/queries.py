@@ -824,6 +824,31 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+@register("ann_lsh_upsert", _ann_lsh_sql())
+def ann_lsh_upsert(spark, sf_dir):
+    """Incremental signature-index maintenance: build the LSH index on
+    the first 256 vectors, upsert the rest (signatures are a pure
+    per-vector function of the frozen hyperplanes — the merged index is
+    bit-identical to a full build, so the UNRESTRICTED full-algorithm
+    oracle applies), idempotent re-run verified in-line, then probe."""
+    import tempfile
+
+    from .sources.tables import TableIO
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    io = TableIO(spark, tempfile.mkdtemp(prefix="lsh_upsert_"))
+    similarity.build_lsh_index(emb.filter(F.col("vec_id") < 256), io,
+                               dim=dim)
+    delta = emb.filter(F.col("vec_id") >= 256)
+    n1 = similarity.lsh_index_upsert(io, delta, dim=dim)
+    n2 = similarity.lsh_index_upsert(io, delta, dim=dim)
+    assert n1 > 0 and n2 == 0, (n1, n2)
+    return similarity.lsh_ann_topk_indexed(io, q, k=5, dim=dim)
+
+
 @register("ann_ivf_upsert", _ann_ivf_sql(train_where="vec_id < 256"))
 def ann_ivf_upsert(spark, sf_dir):
     """Incremental index maintenance: build the IVF index on the first
