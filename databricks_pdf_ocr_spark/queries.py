@@ -824,6 +824,50 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+@register("embed_cosine_topk_quantized", """
+WITH staged AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale,
+         embedding
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)) AS qv
+  FROM staged),
+nz AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS nrm
+  FROM qz WHERE list_sum(list_transform(qv, x -> x * x)) > 0),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(CAST(list_sum(list_transform(range(1, 65),
+                     i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+               / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)),
+               6) AS cosine
+  FROM nz a JOIN nz b ON a.vec_id < 8 AND b.vec_id != a.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+""")
+def embed_cosine_topk_quantized(spark, sf_dir):
+    """Top-k under int8-QUANTIZED cosine — the scoring kernel of a
+    4×-compressed corpus (quantization scales cancel in cosine, so the
+    hot path is exact integer dot products).  Composes the r4
+    quantization operator with search; the oracle recomputes
+    quantization AND int scoring, exact to the last bit (integer sums
+    have no float summation-order ambiguity — only the final division
+    is floating point, identical IEEE ops in both engines)."""
+    qz = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    queries = qz.filter(F.col("id") < 8)
+    return similarity.quantized_topk(qz, queries, k=5)
+
+
 @register("ann_lsh_upsert", _ann_lsh_sql())
 def ann_lsh_upsert(spark, sf_dir):
     """Incremental signature-index maintenance: build the LSH index on
