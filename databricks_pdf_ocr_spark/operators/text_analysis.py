@@ -9,7 +9,7 @@ pipeline runs between extraction and dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import shingles_of, tokens_col
 
@@ -192,3 +192,37 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
                          lambda s: F.sha2(s, 256))
     fp = F.concat_ws("", F.slice(F.array_sort(hashes), 1, keep))
     return staged.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def pack_plan(df: DataFrame, seq_len: int = 2048, n_shards: int = 32,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Sequence-packing plan (concat-and-chop, the standard pretraining
+    layout): documents are concatenated in deterministic (shard, id)
+    order and chopped into fixed ``seq_len``-token sequences; a doc may
+    span sequences.  Emits per doc: shard, token count, the first/last
+    sequence it lands in, and its start offset inside the first.
+
+    Scale shape: packing is per-SHARD (``pmod(id, n_shards)``) so the
+    window sort is n_shards independent local sorts after one hash
+    shuffle — never a global sort; each shard's plan is a running-sum
+    window, all integer math (exactly oracle-able).  Real pipelines
+    write one packed file per shard from exactly this plan."""
+    ws = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (df.select(F.col(id_col), ws.alias("n_tokens"))
+              .filter(F.col("n_tokens") > 0)
+              .withColumn("shard",
+                          F.pmod(F.col(id_col).cast("long"),
+                                 F.lit(n_shards)).cast("int")))
+    cum_end = F.sum("n_tokens").over(w)
+    return (staged
+            .withColumn("cum_end", cum_end)
+            .select(
+                id_col, "shard", "n_tokens",
+                F.floor((F.col("cum_end") - F.col("n_tokens"))
+                        / seq_len).cast("long").alias("first_seq"),
+                F.floor((F.col("cum_end") - 1) / seq_len).cast("long")
+                .alias("last_seq"),
+                ((F.col("cum_end") - F.col("n_tokens"))
+                 % seq_len).cast("long").alias("start_in_seq")))

@@ -824,6 +824,33 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+@register("pack_sequences", """
+WITH staged AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 32 AS INT) AS shard
+  FROM documents
+  WHERE len(string_split(text, ' ')) > 0),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM staged)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((cum_end - n_tokens) / 2048.0) AS BIGINT) AS first_seq,
+       CAST(floor((cum_end - 1) / 2048.0) AS BIGINT) AS last_seq,
+       CAST((cum_end - n_tokens) % 2048 AS BIGINT) AS start_in_seq
+FROM cum
+""")
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing plan (concat-and-chop): per-shard
+    running token sums → each doc's (first_seq, last_seq,
+    start_in_seq) for fixed 2048-token sequences.  All integer math —
+    the oracle recomputes the identical window recursion."""
+    return text_analysis.pack_plan(_t(spark, sf_dir, "documents"),
+                                   seq_len=2048, n_shards=32)
+
+
 @register("embed_cosine_topk_quantized", """
 WITH staged AS (
   SELECT vec_id,

@@ -123,3 +123,26 @@ def test_lsh_indexed_equals_inmemory(spark, tmp_path, emb):
     idx = {tuple(r) for r in
            S.lsh_ann_topk_indexed(io, q, k=5, dim=dim).collect()}
     assert idx == mem and mem
+
+
+def test_pack_plan_concat_and_chop(spark):
+    """Hand-built shard: docs of 1000/1500/600 tokens at seq_len=1024 —
+    the 1500-token doc must span sequences 0→2, offsets exact."""
+    from databricks_pdf_ocr_spark.operators.text_analysis import pack_plan
+
+    rows = [(0, " ".join(["w"] * 1000)),
+            (32, " ".join(["w"] * 1500)),       # same shard (id % 32 == 0)
+            (64, " ".join(["w"] * 600)),
+            (1, " ".join(["w"] * 5))]           # different shard
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_plan(df, seq_len=1024, n_shards=32).collect()}
+    a, b, c, d = got[0], got[32], got[64], got[1]
+    assert (a["first_seq"], a["last_seq"], a["start_in_seq"]) == (0, 0, 0)
+    # doc 32 starts at token 1000 (seq 0), ends at 2499 (seq 2)
+    assert (b["first_seq"], b["last_seq"], b["start_in_seq"]) == (0, 2, 1000)
+    # doc 64 starts at 2500 (seq 2), ends at 3099 (seq 3)
+    assert (c["first_seq"], c["last_seq"], c["start_in_seq"]) == (2, 3, 452)
+    assert (d["shard"], d["first_seq"], d["start_in_seq"]) == (1, 0, 0)
+    # every shard's layout is gapless: token spans tile the shard
+    assert a["n_tokens"] + b["n_tokens"] == 2500
