@@ -195,7 +195,8 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 
 def pack_plan(df: DataFrame, seq_len: int = 2048, n_shards: int = 32,
-              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+              id_col: str = "doc_id", text_col: str = "text",
+              shard_expr: Column | None = None) -> DataFrame:
     """Sequence-packing plan (concat-and-chop, the standard pretraining
     layout): documents are concatenated in deterministic (shard, id)
     order and chopped into fixed ``seq_len``-token sequences; a doc may
@@ -210,11 +211,12 @@ def pack_plan(df: DataFrame, seq_len: int = 2048, n_shards: int = 32,
     ws = F.size(F.split(F.col(text_col), " ")).cast("long")
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if shard_expr is None:       # numeric ids; string ids pass e.g.
+        shard_expr = F.pmod(     # pmod(xxhash64(id), n) as shard_expr
+            F.col(id_col).cast("long"), F.lit(n_shards)).cast("int")
     staged = (df.select(F.col(id_col), ws.alias("n_tokens"))
               .filter(F.col("n_tokens") > 0)
-              .withColumn("shard",
-                          F.pmod(F.col(id_col).cast("long"),
-                                 F.lit(n_shards)).cast("int")))
+              .withColumn("shard", shard_expr))
     cum_end = F.sum("n_tokens").over(w)
     return (staged
             .withColumn("cum_end", cum_end)

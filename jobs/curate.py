@@ -133,6 +133,26 @@ def run_curate(spark, args) -> dict:
                                  for k in ("docs", "ws_tokens", "bpe_tokens")},
              "components_rounds": cc_stats.get("rounds"),
              "elapsed_sec": round(time.time() - t0, 2)}
+
+    # -- optional: training-sequence packing plan (concat-and-chop) over
+    # the curated corpus, one plan row per doc, written PARTITIONED BY
+    # shard — the layout a packed-dataset writer consumes one shard per
+    # task.  Read back from the just-written table so the plan reflects
+    # exactly what shipped.
+    if getattr(args, "pack_seq_len", 0):
+        curated = spark.read.parquet(args.out)
+        plan = text_analysis.pack_plan(
+            curated, seq_len=args.pack_seq_len,
+            n_shards=args.pack_shards,
+            shard_expr=F.pmod(F.xxhash64("doc_id"),
+                              F.lit(args.pack_shards)).cast("int"))
+        plan.write.mode("overwrite").partitionBy("shard") \
+            .parquet(args.out + "_packplan")
+        seqs = (plan.groupBy("shard").agg(F.max("last_seq").alias("m"))
+                .agg(F.sum(F.col("m") + 1).alias("n"))
+                .collect()[0]["n"])              # ≤ n_shards rows
+        stats["packed_sequences"] = int(seqs or 0)
+        stats["pack_seq_len"] = args.pack_seq_len
     return stats
 
 
@@ -152,6 +172,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exact-Jaccard verification threshold for LSH "
                          "candidate pairs (docs are only dropped on "
                          "verified pairs)")
+    ap.add_argument("--pack-seq-len", type=int, default=0,
+                    help="also emit the concat-and-chop sequence-packing "
+                         "plan at this token length (0 = off); written to "
+                         "<out>_packplan partitioned by shard")
+    ap.add_argument("--pack-shards", type=int, default=32,
+                    help="number of independent packing shards")
     return ap
 
 

@@ -99,3 +99,28 @@ def test_with_features_matches_individual_operators(spark):
     # zero wide operators in the fused plan
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_curate_pack_plan(spark, curated_env):
+    """--pack-seq-len emits the per-shard packing plan over exactly the
+    shipped corpus: every curated doc appears once, offsets tile each
+    shard gaplessly, and the sequence count matches the token mass."""
+    rows, tables, out = curated_env
+    out2 = out + "_packed"
+    args = curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out2, "--pack-seq-len", "512"])
+    stats = curate.run_curate(spark, args)
+    assert stats["packed_sequences"] > 0
+    plan = spark.read.parquet(out2 + "_packplan")
+    curated = spark.read.parquet(out2)
+    assert plan.count() == curated.filter("ws_tokens > 0").count()
+    # per-shard: running spans are contiguous from 0
+    for shard_rows in [list(g) for _, g in __import__("itertools").groupby(
+            sorted(plan.collect(), key=lambda r: (r["shard"], r["doc_id"])),
+            key=lambda r: r["shard"])]:
+        pos = 0
+        for r in shard_rows:
+            assert r["first_seq"] == pos // 512
+            assert r["start_in_seq"] == pos % 512
+            pos += r["n_tokens"]
+            assert r["last_seq"] == (pos - 1) // 512
