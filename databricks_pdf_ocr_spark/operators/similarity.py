@@ -253,6 +253,48 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def ivf_topk_quantized(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 5, n_clusters: int = 16, nprobe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "query_id") -> DataFrame:
+    """IVF probe + int8-quantized candidate scoring — the full
+    memory-compressed ANN path: the coarse quantizer (float k-means
+    centroids, tiny) routes queries, while candidate re-ranking runs on
+    the 4×-compressed int8 vectors (``quantized_cosine`` — exact int
+    dot products; scales cancel).  What a 100 TB vector corpus actually
+    serves: float centroids in memory, quantized vectors on disk."""
+    assigned, centroids = ivf_assign(embeddings, n_clusters,
+                                     id_col=id_col, vec_col=vec_col)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cluster int, cvec array<double>")
+    qz = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col) \
+        .select(F.col("id"), F.col("qvec"))
+    probes = _probe_clusters(queries, cdf, nprobe, qid_col, vec_col)
+    # quantization is per-vector, so the (small) query side quantizes
+    # independently — only query-sized tables are broadcast, never the
+    # quantized corpus
+    qz_q = quantize_embeddings(queries, id_col=qid_col, vec_col=vec_col) \
+        .select(F.col("id").alias("query_id"), F.col("qvec").alias("qq"))
+    cands = (assigned.select("cluster", "id")
+             .join(F.broadcast(probes.select("query_id", "cluster")),
+                   "cluster")
+             .filter(F.col("id") != F.col("query_id"))
+             .join(qz.withColumnRenamed("qvec", "nq"), "id")
+             .join(F.broadcast(qz_q), "query_id"))
+    scored = cands.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        F.round(quantized_cosine(F.col("qq"), F.col("nq")), 6)
+        .alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "cosine"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """Symmetric int8 scalar quantization: per-vector

@@ -752,7 +752,8 @@ FROM ranked WHERE rank <= {k}
 
 
 def _ann_ivf_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
-                 k=_ANN_K, n_queries=_ANN_NQ, train_where: str = "") -> str:
+                 k=_ANN_K, n_queries=_ANN_NQ, train_where: str = "",
+                 quantized: bool = False) -> str:
     """DuckDB recomputation of ivf_topk: sha2-ordered centroid init, two
     unrolled Lloyd rounds (argmin assign → per-component mean, empty
     clusters keep their previous centroid), final assignment, nprobe
@@ -811,9 +812,30 @@ cands AS (
   SELECT p.query_id, a.id AS neighbor_id, p.qv, a.v
   FROM af a JOIN probes p USING (cluster)
   WHERE a.id != p.query_id),
+{'''qstaged AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale,
+         embedding
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)) AS qvv
+  FROM qstaged),
 scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(CAST(list_sum(list_transform(range(1, ''' + str(dim + 1)
+ + '''), i -> qa.qvv[i] * qb.qvv[i])) AS DOUBLE)
+               / sqrt(CAST(list_sum(list_transform(qa.qvv, x -> x * x))
+                           AS DOUBLE)
+                      * CAST(list_sum(list_transform(qb.qvv, x -> x * x))
+                             AS DOUBLE)), 6) AS cosine
+  FROM cands c JOIN qz qa ON qa.vec_id = c.query_id
+               JOIN qz qb ON qb.vec_id = c.neighbor_id),'''
+ if quantized else f'''scored AS (
   SELECT query_id, neighbor_id, round({_sql_cos('qv', 'v', dim)}, 6) AS cosine
-  FROM cands),
+  FROM cands),'''}
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id
@@ -822,6 +844,20 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
 FROM ranked WHERE rank <= {k}
 """
+
+
+@register("ann_ivf_quantized", _ann_ivf_sql(quantized=True))
+def ann_ivf_quantized(spark, sf_dir):
+    """The full memory-compressed ANN path: float-centroid IVF routing
+    + int8-quantized candidate re-ranking (``ivf_topk_quantized``) —
+    what a 100 TB vector corpus serves (tiny float model in memory,
+    4×-compressed vectors on disk).  Oracle: the IVF recursion with the
+    scored stage swapped to quantization + exact int dot products."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk_quantized(emb, q, k=5, n_clusters=16,
+                                         nprobe=4)
 
 
 @register("pack_sequences", """
