@@ -50,6 +50,10 @@ def pagerank(edges: DataFrame, d: float = 0.85, iters: int = 3
     """Fixed-iteration power method over (src_host, dst_host) edges →
     ``(host, rank)``.  rank_{t+1}(v) = (1-d)/N + d·Σ_{u→v} rank_t(u)/deg(u).
     """
+    # materialize the edge derivation ONCE: callers hand in edges built
+    # from a corpus parse (regex over every document) — without the cut,
+    # each power iteration would re-run that lineage from the scan
+    edges = edges.localCheckpoint()
     nodes = (edges.select(F.col("src_host").alias("host"))
              .union(edges.select(F.col("dst_host").alias("host")))
              .distinct().localCheckpoint())
@@ -59,7 +63,7 @@ def pagerank(edges: DataFrame, d: float = 0.85, iters: int = 3
     base = (1.0 - d) / n
     outdeg = (edges.groupBy("src_host")
               .agg(F.count(F.lit(1)).cast("double").alias("deg")))
-    contrib_src = edges.join(outdeg, "src_host")
+    contrib_src = edges.join(outdeg, "src_host").localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(iters):
         acc = (contrib_src
