@@ -474,9 +474,8 @@ def lsh_index_upsert(io, new_embeddings: DataFrame,
     append — no global state to revisit (the LSH twin of
     ``ivf_index_upsert``).  Idempotent via an anti-join on the pruned
     id column; returns rows appended (rows = |delta| × bands)."""
-    existing = io.read(table).select(
-        F.col("neighbor_id").alias("id")).distinct()
-    pending = (new_embeddings
+    existing = io.read(table).select(F.col("neighbor_id").alias("id"))
+    pending = (new_embeddings     # left_anti needs no distinct right side
                .join(existing, F.col(id_col) == F.col("id"), "left_anti"))
     banded = _banded(pending, id_col, vec_col, "neighbor_id",
                      dim, n_planes, bands).localCheckpoint()
