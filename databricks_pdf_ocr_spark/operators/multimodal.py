@@ -529,7 +529,12 @@ def frame_sample(df: DataFrame, content_col: str = "content",
                 if mp4mini.looks_like_mp4(payload):
                     try:
                         dur = mp4mini.parse_mp4(payload)["duration_ms"]
-                        samples = mp4mini.mjpeg_frames(payload)
+                        # schedule only — (offset, size, ts); frame bytes
+                        # are sliced per SAMPLED frame below, so a long
+                        # video never doubles its payload in memory
+                        codec, samples = mp4mini.video_samples(payload)
+                        if codec not in mp4mini.MJPEG_CODECS:
+                            samples = None
                     except mp4mini.Mp4Error:
                         samples = None      # non-MJPEG codec → fake path
                 if dur is None:
@@ -539,8 +544,9 @@ def frame_sample(df: DataFrame, content_col: str = "content",
                     ts = i * every_ms
                     if samples:
                         # last sample at-or-before the schedule point
-                        cand = [s for s in samples if s[0] <= ts]
-                        s_ts, jpg = (cand[-1] if cand else samples[0])
+                        cand = [s for s in samples if s[2] <= ts]
+                        off, sz, _sts = (cand[-1] if cand else samples[0])
+                        jpg = payload[off:off + sz]
                         try:
                             w, h, _c, pix = jpegmini.decode_jpeg(jpg)
                             emit(out, mid, i, ts,
