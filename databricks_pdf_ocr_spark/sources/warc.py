@@ -227,10 +227,15 @@ def split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
     undone (crawl captures store the wire bytes; without this the
     "text" fed to extraction is compressed garbage).  TE unwraps before
     CE — that is the order the sender applied them in reverse."""
-    sep = body.find(b"\r\n\r\n")
-    if sep < 0 or not body[:5].startswith(b"HTTP/"):
+    if not body[:5].startswith(b"HTTP/"):
         return None, None, body
-    head = body[:sep].split(b"\r\n")
+    sep, hlen = body.find(b"\r\n\r\n"), 4
+    lf_sep = body.find(b"\n\n")
+    if lf_sep >= 0 and (sep < 0 or lf_sep + 2 < sep):
+        sep, hlen = lf_sep, 2       # LF-only header block (sloppy server)
+    if sep < 0:
+        return None, None, body
+    head = body[:sep].replace(b"\r\n", b"\n").split(b"\n")
     try:
         status = int(head[0].split()[1])
     except (IndexError, ValueError):
@@ -248,7 +253,7 @@ def split_http(body: bytes) -> tuple[int | None, str | None, bytes]:
             chunked = True
         elif key == "content-encoding" and cenc is None:
             cenc = v.decode("latin-1").strip()
-    entity = body[sep + 4:]
+    entity = body[sep + hlen:]
     if chunked:
         entity = _dechunk(entity)
     if cenc:

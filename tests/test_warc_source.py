@@ -360,3 +360,17 @@ def test_outlink_edges_shape(spark):
            for r in linkgraph.outlink_edges(docs).collect()}
     # host lowercased, duplicates collapsed, text spans + relative ignored
     assert got == {("a.example", "b.example")}
+
+
+def test_lf_only_http_headers():
+    """Sloppy servers emit LF-only header blocks; the response must
+    still be recognized (it previously fell through as a non-HTTP body
+    and was filtered out of the documents contract entirely)."""
+    body = (b"HTTP/1.1 200 OK\nContent-Type: text/html; charset=utf-8\n\n"
+            b"<html><p>lf only</p></html>")
+    status, ctype, ent = warc.split_http(body)
+    assert status == 200 and "utf-8" in ctype
+    assert ent == b"<html><p>lf only</p></html>"
+    # a \n\n inside the body must NOT truncate a CRLF header block
+    b2 = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\na \n\n b"
+    assert warc.split_http(b2) == (200, "text/plain", b"a \n\n b")
