@@ -21,22 +21,27 @@ member).  This connector reads them Spark-first:
   (only ``path`` is read from the binaryFile listing), so not even the
   compressed bytes are materialized per task;
 - ``warc_to_documents`` projects response records onto the engine's
-  interleaved-documents input contract (html/text spans), so a crawl
-  segment feeds straight into the extraction pipeline.  Bodies are
-  decoded by the ``charset=`` parameter of the HTTP Content-Type
-  (utf-8 default) with ``errors='replace'`` inside an Arrow-batched
-  pandas UDF — never ``F.decode``, which under ANSI mode throws
-  MALFORMED_CHARACTER_CODING on the first invalid byte and would fail
-  the whole ingest on a routine dirty crawl body (round-4 ADVICE high).
+  interleaved-documents input contract (html/text spans) — one winning
+  capture per target_uri (latest WARC-Date) — so a crawl segment feeds
+  straight into the extraction pipeline (``jobs/extract.py --input
+  warc:<dir>``; streaming twin in ``streaming/ingest.py``).  Bodies
+  are decoded by WHATWG-order charset sniffing (BOM > Content-Type
+  ``charset=`` > ``<meta>`` prescan > utf-8) with ``errors='replace'``
+  inside an Arrow-batched pandas UDF — never ``F.decode``, which under
+  ANSI mode throws MALFORMED_CHARACTER_CODING on the first invalid
+  byte and would fail the whole ingest on a routine dirty crawl body
+  (round-4 ADVICE high).
 
 Format per ISO 28500 / WARC 1.1: ``WARC/1.x`` version line, CRLF header
 block, ``Content-Length`` octet body, CRLF CRLF record separator.
 ``response`` record bodies are HTTP messages; the HTTP header block is
-split off, ``Transfer-Encoding: chunked`` framing is unwrapped (RFC
-7230 §4.1 — hex-size lines would otherwise pollute the document text),
-and the entity body decoded by Content-Type.  Pure stdlib (gzip + text
-parsing); malformed records become error rows — the pipeline-continues
-contract.
+split off (CRLF or bare-LF terminated — sloppy servers emit both),
+``Transfer-Encoding: chunked`` framing is unwrapped (RFC 7230 §4.1 —
+hex-size lines would otherwise pollute the document text), then
+``Content-Encoding: gzip/x-gzip/deflate`` is inflated (bounded; crawl
+captures store the wire bytes), and the entity decoded per the sniffed
+charset.  Pure stdlib (gzip/zlib + text parsing); malformed records
+become error rows — the pipeline-continues contract.
 
 Validation: ``tests/test_warc_source.py`` round-trips against this
 module's own spec-conformant writer (per-record gzip members and plain
