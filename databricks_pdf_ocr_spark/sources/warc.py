@@ -89,10 +89,24 @@ class WarcError(ValueError):
 
 def _open_stream(f: io.IOBase) -> io.BufferedIOBase:
     """Wrap a raw byte stream, transparently inflating gzip (GzipFile
-    consumes consecutive members — the Common Crawl per-record layout)."""
+    consumes consecutive members — the Common Crawl per-record layout).
+
+    Zstandard segments (the newer Common Crawl encoding) are detected
+    and rejected LOUDLY: this container is stdlib-only and Python ships
+    no zstd codec until 3.14.  A real deployment adds the ``zstandard``
+    package and wraps the stream with
+    ``zstandard.ZstdDecompressor().stream_reader(buf)`` right here —
+    the record loop downstream is already encoding-agnostic.  The
+    rejection becomes a per-segment error row, not a failed job."""
     buf = f if hasattr(f, "peek") else io.BufferedReader(f)  # type: ignore[arg-type]
-    if buf.peek(2)[:2] == b"\x1f\x8b":
+    head = buf.peek(4)[:4]
+    if head[:2] == b"\x1f\x8b":
         return io.BufferedReader(gzip.GzipFile(fileobj=buf))  # type: ignore[arg-type]
+    if head == b"\x28\xb5\x2f\xfd":
+        raise WarcError(
+            "zstd-compressed segment: no stdlib zstandard codec in this "
+            "container — install 'zstandard' and wrap the stream with "
+            "ZstdDecompressor().stream_reader (sources/warc._open_stream)")
     return buf
 
 

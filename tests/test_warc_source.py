@@ -374,3 +374,22 @@ def test_lf_only_http_headers():
     # a \n\n inside the body must NOT truncate a CRLF header block
     b2 = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\na \n\n b"
     assert warc.split_http(b2) == (200, "text/plain", b"a \n\n b")
+
+
+def test_zstd_segment_rejected_loudly(spark, tmp_path):
+    """A .warc.zst segment (newer Common Crawl encoding; no stdlib
+    codec here) must become a loud per-segment error row naming the
+    production fix — never a silent skip or a failed job."""
+    import io
+
+    with pytest.raises(warc.WarcError, match="zstandard"):
+        list(warc.iter_warc_stream(io.BytesIO(
+            b"\x28\xb5\x2f\xfd" + b"\x00" * 64)))
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "a.warc.gz").write_bytes(warc.write_warc(_records()[:1]))
+    (seg_dir / "b.warc.gz").write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 64)
+    recs = warc.read_warc_segments(spark, str(seg_dir)).collect()
+    errs = [r for r in recs if not r["parse_ok"]]
+    assert len(errs) == 1 and "zstandard" in errs[0]["error_message"]
+    assert any(r["parse_ok"] for r in recs)      # the good segment landed
