@@ -21,6 +21,7 @@ from databricks_pdf_ocr_spark.queries import QUERIES
 from databricks_pdf_ocr_spark.session import get_spark
 
 SF = "/root/testdata/sf0.01"
+HAND_MARKER = "<!-- HAND-CURATED BELOW: preserved by dump_plans.py -->"
 SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
         "dedup_minhash_lsh", "embed_cosine_topk", "asof_join_events_orders"]
 
@@ -108,7 +109,13 @@ def main() -> int:
         df = QUERIES[name]["fn"](spark, SF)
         parts.append(f"## {name}\n```\n{plan_of(df)}```\n")
 
-    Path("PLANS.md").write_text("\n".join(parts))
+    # hand-curated audit sections (media/shingled/warc/pack/...) live
+    # below the marker and survive regeneration
+    out = Path("PLANS.md")
+    tail = ""
+    if out.exists() and HAND_MARKER in out.read_text():
+        tail = HAND_MARKER + out.read_text().split(HAND_MARKER, 1)[1]
+    out.write_text("\n".join(parts) + "\n" + tail)
     print("wrote PLANS.md")
     spark.stop()
     return 0
