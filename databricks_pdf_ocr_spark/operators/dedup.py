@@ -279,6 +279,101 @@ def verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .select(*pairs.columns, "jaccard"))
 
 
+def minhash_banded(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3, k: int = 8,
+                   bands: int = 4, hash_mode: str = "sha2") -> DataFrame:
+    """Banded MinHash rows ``(id, band_idx, band_hash)`` — one row per
+    (doc, band).  A pure per-document function of the frozen hash
+    family, which is what makes the near-dup index incrementally
+    maintainable (``build_minhash_index``/``minhash_index_upsert``)."""
+    r = k // bands
+    assert bands * r == k, "k must divide into equal bands"
+    sig = minhash_signatures_df(df, id_col, text_col, n, k, hash_mode)
+    if hash_mode == "xxhash64":
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
+            .alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.sha2(F.concat_ws(
+                "|", *[F.col(f"mh{b * r + i}") for i in range(r)]), 256)
+            .alias(f"band{b}")
+            for b in range(bands)
+        ]
+    return sig.select("id", F.posexplode(F.array(*band_cols))
+                      .alias("band_idx", "band_hash"))
+
+
+def build_minhash_index(df: DataFrame, io, table: str = "minhash_index",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, k: int = 8, bands: int = 4,
+                        hash_mode: str = "sha2") -> str:
+    """Persist the banded MinHash table — the text-dedup twin of
+    ``similarity.build_lsh_index``: at 100 TB the shingle→minhash
+    matmul over the historical corpus runs ONCE; each ingest batch
+    upserts its own signatures and generates candidates against the
+    stored banding instead of re-signing everything."""
+    io.overwrite(minhash_banded(df, id_col, text_col, n, k, bands,
+                                hash_mode), table)
+    return table
+
+
+def minhash_index_upsert(io, new_docs: DataFrame,
+                         table: str = "minhash_index",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, k: int = 8, bands: int = 4,
+                         hash_mode: str = "sha2") -> int:
+    """Absorb an ingest delta: signatures are per-document, so the
+    upsert is the signature pipeline over ONLY the delta plus an
+    append; ids already indexed are skipped (anti-join on the pruned id
+    column — idempotent re-ingest).  Returns rows appended
+    (= |delta| × bands)."""
+    existing = io.read(table).select("id")
+    pending = new_docs.join(existing, F.col(id_col) == F.col("id"),
+                            "left_anti")
+    banded = minhash_banded(pending, id_col, text_col, n, k, bands,
+                            hash_mode).localCheckpoint()
+    cnt = banded.count()
+    if cnt:
+        io.append(banded, table)
+    return int(cnt)
+
+
+def minhash_lsh_pairs_incremental(io, new_ids: DataFrame,
+                                  table: str = "minhash_index",
+                                  docs: DataFrame | None = None,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text", n: int = 3,
+                                  verify_threshold: float | None = None
+                                  ) -> DataFrame:
+    """Candidate near-dup pairs TOUCHING the delta: the new side's
+    banded rows equi-join the FULL stored banding, so each ingest batch
+    pays |delta| × corpus-bucket work instead of corpus².  Old↔old
+    pairs were already resolved by earlier batches — exactly the
+    incremental dedup recursion a rolling crawl ingest runs.
+
+    ``new_ids``: one-column (id) DataFrame of the delta's doc ids.
+    ``verify_threshold`` + ``docs``: second-rung exact-Jaccard
+    verification over the pair texts (the drop-safe configuration)."""
+    banded_all = io.read(table)
+    banded_new = banded_all.join(F.broadcast(new_ids.select("id")), "id",
+                                 "left_semi")
+    a, b = banded_new.alias("a"), banded_all.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .select(F.least("a.id", "b.id").alias("doc_a"),
+                    F.greatest("a.id", "b.id").alias("doc_b"))
+            .distinct())
+    if verify_threshold is None:
+        return cand
+    assert docs is not None, "verification needs the documents table"
+    return verify_pairs(docs, cand, id_col, text_col, n,
+                        threshold=verify_threshold).drop("jaccard")
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, k: int = 8,
                       bands: int = 4, hash_mode: str = "sha2",
@@ -302,23 +397,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     any pipeline that DROPS documents must run (raw candidates include
     spurious near-zero-Jaccard collisions in every hash family).
     """
-    r = k // bands
-    assert bands * r == k, "k must divide into equal bands"
-    sig = minhash_signatures_df(df, id_col, text_col, n, k, hash_mode)
-    if hash_mode == "xxhash64":
-        band_cols = [
-            F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)])
-            .alias(f"band{b}")
-            for b in range(bands)
-        ]
-    else:
-        band_cols = [
-            F.sha2(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)]), 256)
-            .alias(f"band{b}")
-            for b in range(bands)
-        ]
-    banded = sig.select("id", F.posexplode(F.array(*band_cols))
-                        .alias("band_idx", "band_hash"))
+    banded = minhash_banded(df, id_col, text_col, n, k, bands, hash_mode)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -572,6 +572,37 @@ def dedup_minhash_verified(spark, sf_dir):
                                    n=3, k=8, bands=4, verify_threshold=0.3)
 
 
+@register("dedup_minhash_incremental", f"""
+SELECT doc_a, doc_b FROM ({_minhash_sql()}) t
+WHERE doc_a >= 350 OR doc_b >= 350
+""")
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup over a rolling ingest: the banded MinHash
+    index is built once on the historical corpus (doc_id < 350), the
+    ingest delta upserts its own signatures (per-doc function, frozen
+    hash family; idempotent re-run asserted in-line), and candidates
+    are generated delta-vs-ALL — |delta|-scaled work per batch instead
+    of a full corpus re-sign.
+
+    Oracle: the full-corpus LSH recursion restricted to pairs touching
+    the delta — the incremental path must produce EXACTLY the pairs a
+    from-scratch run would emit for those docs."""
+    import tempfile
+
+    from .sources.tables import TableIO
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 350)
+    new = docs.filter(F.col("doc_id") >= 350)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="mh_idx_"))
+    dedup.build_minhash_index(old, io)
+    n1 = dedup.minhash_index_upsert(io, new)
+    n2 = dedup.minhash_index_upsert(io, new)      # idempotent re-run
+    assert n1 > 0 and n2 == 0, (n1, n2)
+    return dedup.minhash_lsh_pairs_incremental(
+        io, new.select(F.col("doc_id").alias("id")))
+
+
 @register("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
