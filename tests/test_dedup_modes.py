@@ -129,3 +129,29 @@ def test_neardup_components_random_graphs_vs_union_find(spark, seed):
     got = {r["node"]: r["comp"]
            for r in dedup.neardup_components(df).collect()}
     assert got == expected
+
+
+def test_minhash_incremental_equals_from_scratch(spark, tmp_path):
+    """Production mode (xxhash64): build on old + upsert delta +
+    delta-vs-all candidates must equal the from-scratch full-corpus
+    pairs restricted to pairs touching the delta — in BOTH hash modes."""
+    from pyspark.sql import functions as F
+
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    old = docs.filter(F.col("doc_id") < 350)
+    new = docs.filter(F.col("doc_id") >= 350)
+    for mode in ("xxhash64", "sha2"):
+        io = TableIO(spark, str(tmp_path / f"idx_{mode}"))
+        dedup.build_minhash_index(old, io, hash_mode=mode)
+        assert dedup.minhash_index_upsert(io, new, hash_mode=mode) > 0
+        assert dedup.minhash_index_upsert(io, new, hash_mode=mode) == 0
+        inc = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.minhash_lsh_pairs_incremental(
+                   io, new.select(F.col("doc_id").alias("id"))).collect()}
+        full = {(r["doc_a"], r["doc_b"]) for r in
+                dedup.minhash_lsh_pairs(docs, hash_mode=mode).collect()
+                if r["doc_a"] >= 350 or r["doc_b"] >= 350}
+        assert inc == full, mode
