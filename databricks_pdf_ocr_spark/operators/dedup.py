@@ -374,6 +374,30 @@ def minhash_lsh_pairs_incremental(io, new_ids: DataFrame,
                         threshold=verify_threshold).drop("jaccard")
 
 
+def merge_components(old_labels: DataFrame, new_pairs: DataFrame,
+                     a_col: str = "doc_a", b_col: str = "doc_b",
+                     max_iter: int = 20,
+                     stats: dict | None = None) -> DataFrame:
+    """Incrementally merge an ingest delta's near-dup pairs into an
+    EXISTING component labeling: each old component collapses to its
+    star edges ``(node → comp)`` — connectivity-equivalent to the whole
+    old pair graph but diameter 1 — and propagation runs over
+    ``stars ∪ new_pairs``.  The result equals a from-scratch
+    ``neardup_components`` over the full historical+delta pair set,
+    while each batch pays for a graph whose old side is ONE edge per
+    already-labeled node (the rolling-crawl dedup recursion, third rung
+    after the signature upsert and the delta-only candidates).
+
+    Correctness: ``comp`` is the min member id of its old component and
+    itself a node of the star, so min-label propagation over the union
+    reaches exactly the same minima as over the original graph.
+    """
+    star = old_labels.select(F.col("node").alias(a_col),
+                             F.col("comp").alias(b_col))
+    return neardup_components(star.unionByName(new_pairs), a_col, b_col,
+                              max_iter=max_iter, stats=stats)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3, k: int = 8,
                       bands: int = 4, hash_mode: str = "sha2",

@@ -635,6 +635,49 @@ def dedup_components(spark, sf_dir):
         F.col("comp").alias("component_id"))
 
 
+@register("dedup_components_incremental", f"""
+WITH RECURSIVE
+vp AS (SELECT * FROM ({_minhash_sql()}) t),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(comp) AS component_id
+FROM reach GROUP BY node
+""")
+def dedup_components_incremental(spark, sf_dir):
+    """The full rolling-ingest dedup recursion, third rung: historical
+    components collapse to star edges and MERGE with the delta's
+    candidate pairs (themselves produced by the persisted-index upsert
+    + delta-vs-all banding) — no historical pair is revisited.
+
+    Oracle: from-scratch recursive-CTE components over the FULL
+    corpus pair set — the incremental merge must converge to exactly
+    the same labeling."""
+    import tempfile
+
+    from .sources.tables import TableIO
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 350)
+    new = docs.filter(F.col("doc_id") >= 350)
+    # historical state: labels from the old corpus's own pairs
+    old_labels = dedup.neardup_components(
+        dedup.minhash_lsh_pairs(old, n=3, k=8, bands=4))
+    # delta candidates via the persisted index (delta-vs-all banding)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="mh_cc_"))
+    dedup.build_minhash_index(old, io)
+    dedup.minhash_index_upsert(io, new)
+    delta_pairs = dedup.minhash_lsh_pairs_incremental(
+        io, new.select(F.col("doc_id").alias("id")))
+    merged = dedup.merge_components(old_labels, delta_pairs)
+    return merged.select(F.col("node").alias("doc_id"),
+                         F.col("comp").alias("component_id"))
+
+
 def _simhash_sql(bits: int = 32) -> str:
     sums = ", ".join(
         f"CAST(sum(((h >> {i}) & 1) * 2 - 1) AS BIGINT) AS s{i}"

@@ -155,3 +155,23 @@ def test_minhash_incremental_equals_from_scratch(spark, tmp_path):
                 dedup.minhash_lsh_pairs(docs, hash_mode=mode).collect()
                 if r["doc_a"] >= 350 or r["doc_b"] >= 350}
         assert inc == full, mode
+
+
+def test_merge_components_equals_from_scratch(spark):
+    """Star-collapse merge: old labels + delta pairs must converge to
+    exactly the from-scratch components over the full pair set —
+    including a delta pair that BRIDGES two old components."""
+    old_pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("x", "y")], "doc_a string, doc_b string")
+    old_labels = dedup.neardup_components(old_pairs)
+    # delta: bridges {a,b} and {c,d}; attaches a brand-new node to x
+    delta = spark.createDataFrame(
+        [("b", "c"), ("x", "z")], "doc_a string, doc_b string")
+    st = {}
+    merged = {r["node"]: r["comp"] for r in
+              dedup.merge_components(old_labels, delta, stats=st).collect()}
+    full = {r["node"]: r["comp"] for r in
+            dedup.neardup_components(
+                old_pairs.unionByName(delta)).collect()}
+    assert merged == full
+    assert merged["d"] == "a" and merged["z"] == "x"
