@@ -32,6 +32,29 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_sim_double(a: Column, b: Column) -> Column:
+    """Cosine with each element cast to double BEFORE the product.
+
+    ``cosine_sim`` multiplies float32 elements in float32 (Spark keeps
+    the narrower type inside the lambda), which loses ~1e-7 relative
+    precision per product — enough for a pair to straddle a round(·, 6)
+    boundary against an engine that multiplies in double (measured:
+    0.352699 vs 0.352698 on the sf0.01 corpus).  Casting first makes the
+    whole expression the same sequential double fold DuckDB's
+    ``list_sum`` evaluates — bit-identical doubles, so rounding is safe.
+    """
+    dot = F.aggregate(F.zip_with(a, b,
+                                 lambda x, y: x.cast("double") * y),
+                      F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+    return dot / (norm(a) * norm(b))
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "query_id") -> DataFrame:
@@ -122,6 +145,39 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                 F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                         n_clusters: int = 16, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate pairs
+    found WITHIN k-means clusters — the scalable form of semantic dedup.
+
+    The exact all-pairs cosine is O(N²); SemDeDup's observation is that
+    semantic duplicates land in the same coarse cluster, so the quadratic
+    term is bounded by cluster size: cluster with the same deterministic
+    k-means the IVF index uses (``ivf_assign`` — sha2-ordered init, two
+    Lloyd rounds, broadcast centroids), then compute exact cosine only
+    inside each cluster via a cluster-keyed equi-join.  At 100 TB the
+    join shuffles on the cluster key (n_clusters scales with corpus size
+    to keep clusters bounded) and nothing all-pairs survives.
+
+    Output: (cluster, id_a, id_b, cosine) for pairs ≥ ``threshold``;
+    downstream keeps ``min(id)`` per group exactly like the text
+    near-dup ladder.
+    """
+    assigned, _ = ivf_assign(embeddings, n_clusters,
+                             id_col=id_col, vec_col=vec_col)
+    a = assigned.select("cluster", F.col("id").alias("id_a"),
+                        F.col("v").alias("__va"))
+    b = assigned.select("cluster", F.col("id").alias("id_b"),
+                        F.col("v").alias("__vb"))
+    return (a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("cluster", "id_a", "id_b",
+                    F.round(cosine_sim_double(F.col("__va"), F.col("__vb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
 
 
 def plane_vector(p: int, dim: int, seed: int = 1) -> list[float]:

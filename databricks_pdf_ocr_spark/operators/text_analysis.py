@@ -194,6 +194,98 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
     return staged.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signals per document: word n-gram
+    counts, distinct counts, the most-frequent n-gram's occurrence count,
+    and the duplicated-n-gram fraction (1 - distinct/total).
+
+    Boilerplate, templated spam, and decode loops all show up as a high
+    duplicate-n-gram fraction — the standard pretraining quality gate the
+    length/punct/stopword features cannot see (Rae et al., Gopher §A1.1).
+
+    Plan shape: ONE narrow projection — the shingle array is sorted
+    per-doc and the top count is the longest equal-run in the sorted
+    array, computed with a linear ``aggregate`` scan (struct state:
+    previous shingle, current run, best run).  No explode, no per-doc
+    groupBy shuffle: at 100 TB this runs in the same scan as the other
+    quality features.  All outputs are integers (exactly oracle-able;
+    the e6 fraction is floor-scaled — decimal round() differs across
+    engines in the last ulp).
+    """
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    staged = staged.select(
+        F.col(id_col),
+        F.array_sort(shingles_of(F.col("__toks"), n)).alias("__sh"))
+    n_ngrams = F.size("__sh").cast("long")
+    n_distinct = F.size(F.array_distinct("__sh")).cast("long")
+    init = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc.best, run).alias("best"))
+
+    top_count = F.aggregate(F.col("__sh"), init, step, lambda acc: acc.best)
+    dup_frac_e6 = F.floor(
+        (n_ngrams - n_distinct) * F.lit(1000000.0) / n_ngrams).cast("long")
+    return (staged
+            .select(F.col(id_col), n_ngrams.alias("n_ngrams"),
+                    n_distinct.alias("n_distinct"),
+                    top_count.alias("top_ngram_count"),
+                    dup_frac_e6.alias("dup_ngram_frac_e6"))
+            .filter(F.col("n_ngrams") > 0))
+
+
+def contamination_pairs(df: DataFrame, eval_mod: int = 20, n: int = 3,
+                        min_common: int = 2, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Train/test decontamination: n-gram overlap between the training
+    corpus and a benchmark/eval subset (here the deterministic
+    ``sha2(id) mod eval_mod == 0`` slice — in production the eval side is
+    the actual benchmark suite).
+
+    Emits one row per (corpus doc, eval doc) sharing ≥ ``min_common``
+    distinct word n-grams, with the contamination fraction
+    ``n_common / |eval doc's shingle set|`` floor-scaled to e6 — the
+    gate pretraining pipelines apply before held-out evaluation is
+    trustworthy (e.g. GPT-3 App. C / PaLM-style 13-gram overlap checks;
+    n is a parameter, tests use n=3 against the small synthetic docs).
+
+    Scale shape: the benchmark side is tiny by construction → its
+    distinct-shingle table and per-doc sizes are BROADCAST; the corpus
+    side is one narrow shingle explode feeding a broadcast-hash-join —
+    the 100 TB corpus is never shuffled, and the per-pair aggregate keys
+    on (corpus doc, eval doc) which the broadcast join leaves
+    co-partitioned with the corpus scan.
+    """
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8),
+               16, 10).cast("long") % eval_mod)
+    shingles = staged.select(
+        F.col(id_col), bucket.alias("__b"),
+        F.explode(F.array_distinct(shingles_of(F.col("__toks"), n)))
+        .alias("shingle"))
+    evals = (shingles.filter(F.col("__b") == 0)
+             .select(F.col(id_col).alias("eval_id"), "shingle"))
+    eval_sizes = evals.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_eval_sh"))
+    corpus = (shingles.filter(F.col("__b") != 0)
+              .select(F.col(id_col), "shingle"))
+    overlap = (corpus.join(F.broadcast(evals), "shingle")
+               .groupBy(id_col, "eval_id")
+               .agg(F.count("*").cast("long").alias("n_common"))
+               .filter(F.col("n_common") >= min_common))
+    return (overlap.join(F.broadcast(eval_sizes), "eval_id")
+            .select(F.col(id_col), F.col("eval_id"), F.col("n_common"),
+                    F.floor(F.col("n_common") * F.lit(1000000.0)
+                            / F.col("n_eval_sh")).cast("long")
+                    .alias("contam_e6")))
+
+
 def pack_plan(df: DataFrame, seq_len: int = 2048, n_shards: int = 32,
               id_col: str = "doc_id", text_col: str = "text",
               shard_expr: Column | None = None) -> DataFrame:

@@ -825,24 +825,25 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _ann_ivf_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
-                 k=_ANN_K, n_queries=_ANN_NQ, train_where: str = "",
-                 quantized: bool = False) -> str:
-    """DuckDB recomputation of ivf_topk: sha2-ordered centroid init, two
-    unrolled Lloyd rounds (argmin assign → per-component mean, empty
-    clusters keep their previous centroid), final assignment, nprobe
-    nearest clusters per query, exact cosine re-rank — mirroring
-    similarity.ivf_assign/ivf_topk step for step.
+def _ivf_dist(emb: str, cvec: str, dim: int) -> str:
+    """Squared euclidean distance between a FLOAT[] and a DOUBLE[] column."""
+    return (f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"(CAST({emb}[i] AS DOUBLE) - {cvec}[i]) * "
+            f"(CAST({emb}[i] AS DOUBLE) - {cvec}[i])))")
+
+
+def _ivf_kmeans_cte(dim: int, n_clusters: int, train_where: str = "") -> str:
+    """The WITH-prefix every IVF-family oracle shares: sha2-ordered
+    centroid init, two unrolled Lloyd rounds (argmin assign →
+    per-component mean, empty clusters keep their previous centroid),
+    then the FINAL full assignment ``af`` (id, v, cluster) against the
+    converged centroids ``c2`` — mirroring similarity.ivf_assign step
+    for step.
 
     ``train_where``: optional predicate restricting the k-means legs
-    (init + Lloyd assigns) to a build corpus while the FINAL assignment
+    (init + Lloyd assigns) to a build corpus while the final assignment
     covers all vectors — the build-then-upsert recursion of
     ``ann_ivf_upsert``."""
-    def dist(emb: str, cvec: str) -> str:
-        return (f"list_sum(list_transform(range(1, {dim + 1}), i -> "
-                f"(CAST({emb}[i] AS DOUBLE) - {cvec}[i]) * "
-                f"(CAST({emb}[i] AS DOUBLE) - {cvec}[i])))")
-
     mean_list = "[" + ", ".join(
         f"avg(CAST(v[{i + 1}] AS DOUBLE))" for i in range(dim)) + "]"
     train_sql = f"WHERE {train_where}" if train_where else ""
@@ -853,7 +854,7 @@ def _ann_ivf_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
   FROM embeddings e CROSS JOIN {cents} t
   {where}
   QUALIFY row_number() OVER (PARTITION BY e.vec_id
-      ORDER BY {dist('e.embedding', 't.cvec')}, t.cluster) = 1)"""
+      ORDER BY {_ivf_dist('e.embedding', 't.cvec', dim)}, t.cluster) = 1)"""
 
     def update(mname: str, cname: str, prev: str, aname: str) -> str:
         return f"""{mname} AS (
@@ -875,7 +876,19 @@ WITH init AS (
 {update('m1', 'c1', 'init', 'a1')},
 {assign('a2', 'c1', train_sql)},
 {update('m2', 'c2', 'c1', 'a2')},
-{assign('af', 'c2')},
+{assign('af', 'c2')}"""
+
+
+def _ann_ivf_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
+                 k=_ANN_K, n_queries=_ANN_NQ, train_where: str = "",
+                 quantized: bool = False) -> str:
+    """DuckDB recomputation of ivf_topk: the shared k-means prefix
+    (``_ivf_kmeans_cte``), then nprobe nearest clusters per query and an
+    exact cosine re-rank — mirroring similarity.ivf_topk."""
+    def dist(emb: str, cvec: str) -> str:
+        return _ivf_dist(emb, cvec, dim)
+
+    return _ivf_kmeans_cte(dim, n_clusters, train_where) + f""",
 probes AS (
   SELECT q.vec_id AS query_id, t.cluster, q.embedding AS qv
   FROM embeddings q CROSS JOIN c2 t
@@ -959,6 +972,103 @@ def pack_sequences(spark, sf_dir):
     the oracle recomputes the identical window recursion."""
     return text_analysis.pack_plan(_t(spark, sf_dir, "documents"),
                                    seq_len=2048, n_shards=32)
+
+
+@register("text_repetition", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> array_to_string(t[i:i+1], ' '))) AS shingle
+  FROM toks
+), counts AS (
+  SELECT doc_id, shingle, count(*) AS c FROM sh GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT)   AS n_ngrams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(max(c) AS BIGINT)   AS top_ngram_count,
+       CAST(floor((sum(c) - count(*)) * 1000000.0 / sum(c)) AS BIGINT)
+         AS dup_ngram_frac_e6
+FROM counts GROUP BY doc_id
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicated-2-gram
+    fraction + top-2-gram count) — a single narrow projection with a
+    linear sorted-run ``aggregate`` scan per doc; the oracle recomputes
+    via unnest + two hash-aggs (plan-free equivalence).  All integers."""
+    return text_analysis.repetition_features(
+        _t(spark, sf_dir, "documents"), n=2)
+
+
+@register("decontaminate", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks
+), gate AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 20 AS b
+  FROM documents
+), ev AS (
+  SELECT s.doc_id AS eval_id, s.shingle
+  FROM sh s JOIN gate g USING (doc_id) WHERE g.b = 0
+), ev_sizes AS (
+  SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval_sh FROM ev GROUP BY 1
+), co AS (
+  SELECT s.doc_id, s.shingle
+  FROM sh s JOIN gate g USING (doc_id) WHERE g.b != 0
+), overlap AS (
+  SELECT co.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM co JOIN ev USING (shingle)
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT o.doc_id, o.eval_id, o.n_common,
+       CAST(floor(o.n_common * 1000000.0 / s.n_eval_sh) AS BIGINT)
+         AS contam_e6
+FROM overlap o JOIN ev_sizes s USING (eval_id)
+""")
+def decontaminate(spark, sf_dir):
+    """Train/test decontamination: word-3-gram overlap between the corpus
+    and the deterministic sha2-gated eval slice (the GPT-3/PaLM-style
+    contamination check).  The eval side is broadcast — the corpus is
+    never shuffled."""
+    return text_analysis.contamination_pairs(
+        _t(spark, sf_dir, "documents"), eval_mod=20, n=3, min_common=2)
+
+
+def _semdedup_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS,
+                  threshold: float = 0.9) -> str:
+    """SemDeDup oracle: the shared k-means recursion, then exact cosine
+    over same-cluster pairs."""
+    return _ivf_kmeans_cte(dim, n_clusters) + f""",
+pairs AS (
+  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+         round({_sql_cos('a.v', 'b.v', dim)}, 6) AS cosine
+  FROM af a JOIN af b USING (cluster)
+  WHERE a.id < b.id)
+SELECT cluster, id_a, id_b, cosine FROM pairs
+WHERE cosine >= {threshold}
+"""
+
+
+@register("semdedup_pairs", _semdedup_sql(threshold=0.35))
+def semdedup_pairs(spark, sf_dir):
+    """SemDeDup: embedding near-duplicate pairs found within k-means
+    clusters — the quadratic term bounded by cluster size instead of the
+    corpus (Abbas et al. 2023).  Reuses the deterministic IVF k-means, so
+    the oracle shares the `_ivf_kmeans_cte` recursion verbatim.  The
+    synthetic embeddings carry no planted near-dups (all-pairs max cosine
+    ≈ 0.48-0.6), so the gate threshold is 0.35 to exercise a non-empty
+    result at every sf; production runs ~0.9."""
+    return similarity.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16)
 
 
 @register("embed_cosine_topk_quantized", """

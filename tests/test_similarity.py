@@ -66,6 +66,37 @@ def test_cosine_neardup_threshold(emb):
         assert r["id_a"] < r["id_b"]
 
 
+def test_semdedup_finds_planted_within_cluster_pair(spark):
+    """Identical vectors land in the same cluster and surface as a
+    cosine-1.0 pair; orthogonal vectors never pair."""
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    ortho = [0.0, 1.0] + [0.0] * (dim - 2)
+    near = [0.99, 0.1] + [0.0] * (dim - 2)
+    rows = [(0, base), (1, base), (2, near), (3, ortho)] + [
+        (10 + i, [0.0] * (dim - 1) + [float(i + 1)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in S.semantic_dedup_pairs(df, threshold=0.9,
+                                             n_clusters=3).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert all(0.9 <= c <= 1.0 for c in pairs.values())
+    assert not any({a, b} & {3} for a, b in pairs)   # ortho never pairs
+
+
+def test_semdedup_subset_of_brute_force_pairs(emb):
+    """Every SemDeDup pair is a true cosine-threshold pair (the cluster
+    restriction only DROPS candidates, never invents them)."""
+    sem = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in S.semantic_dedup_pairs(emb, threshold=0.35,
+                                           n_clusters=8).collect()}
+    assert sem, "planted-free corpus still has >0 pairs at 0.35"
+    brute = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in S.cosine_neardup_pairs(emb, threshold=0.35).collect()}
+    for k, v in sem.items():
+        assert k in brute and abs(brute[k] - v) < 2e-6
+
+
 def test_ivf_indexed_equals_inmemory_and_prunes(spark, tmp_path):
     """The persisted-index probe path returns the exact in-memory ivf_topk
     rows, and the index scan directory-prunes to the probed clusters."""
