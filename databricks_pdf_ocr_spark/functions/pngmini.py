@@ -9,10 +9,13 @@ decode/resize/encode PNG payloads end-to-end, leaving only the exotic
 codecs (JPEG/WebP/video) behind the loud ``NotImplementedError`` slot.
 
 Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-6 (RGBA), non-interlaced.  Encoder emits any per-row filter type (0
-default; 1-4 exist so tests exercise every unfilter branch).  Resize is
-deterministic box (area-average) downsampling — not bit-identical to
-LANCZOS, but a real pixel resample with antialiasing semantics.
+6 (RGBA), non-interlaced; plus color type 3 (indexed/palette) at bit
+depths 1/2/4/8 with optional tRNS alpha — palette PNGs are the single
+most common web-icon encoding, and expansion yields RGB (no tRNS) or
+RGBA rows.  Encoder emits any per-row filter type (0 default; 1-4 exist
+so tests exercise every unfilter branch).  Resize is deterministic box
+(area-average) downsampling — not bit-identical to LANCZOS, but a real
+pixel resample with antialiasing semantics.
 """
 
 from __future__ import annotations
@@ -86,8 +89,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != PNG_SIG:
         raise PngError("not a PNG (bad signature)")
     pos, width = 8, None
-    height = channels = 0
+    height = channels = depth = ctype = 0
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
@@ -96,13 +101,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, ctype, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
-            if depth != 8:
+            if ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise PngError(f"bad palette bit depth {depth}")
+            elif depth != 8:
                 raise PngError(f"unsupported bit depth {depth}")
-            if ctype not in _CHANNELS:
+            if ctype != 3 and ctype not in _CHANNELS:
                 raise PngError(f"unsupported color type {ctype}")
             if interlace:
                 raise PngError("interlaced PNG unsupported")
-            channels = _CHANNELS[ctype]
+            channels = 1 if ctype == 3 else _CHANNELS[ctype]
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -110,12 +122,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None or not idat:
         raise PngError("missing IHDR/IDAT")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    # stride in BYTES of the filtered scanline (sub-byte packing for
+    # indexed depths < 8); filters always operate byte-wise with bpp ≥ 1
+    stride = ((width * depth * channels + 7) // 8 if ctype == 3
+              else width * channels)
     if len(raw) != (stride + 1) * height:
         raise PngError("decompressed size mismatch")
     out = bytearray()
     prev = bytearray(stride)
-    bpp = channels
+    bpp = max(1, (depth * channels) // 8)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
@@ -138,7 +153,29 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise PngError(f"unknown row filter {ftype}")
         out += row
         prev = row
-    return width, height, channels, bytes(out)
+    if ctype != 3:
+        return width, height, channels, bytes(out)
+    if plte is None or len(plte) % 3:
+        raise PngError("palette PNG without a valid PLTE chunk")
+    n_pal = len(plte) // 3
+    alpha = (bytes(trns) + b"\xff" * (n_pal - len(trns))
+             if trns is not None else None)
+    out_ch = 3 if alpha is None else 4
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    px = bytearray()
+    for y in range(height):
+        row = out[y * stride:(y + 1) * stride]
+        for x in range(width):
+            b = row[x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)   # MSB-first packing
+            idx = (b >> shift) & mask
+            if idx >= n_pal:
+                raise PngError(f"palette index {idx} out of range {n_pal}")
+            px += plte[idx * 3:idx * 3 + 3]
+            if alpha is not None:
+                px.append(alpha[idx])
+    return width, height, out_ch, bytes(px)
 
 
 def resize_box(pixels: bytes, width: int, height: int, channels: int,

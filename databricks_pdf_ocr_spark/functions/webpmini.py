@@ -68,6 +68,72 @@ def webp_meta(data: bytes) -> dict:
     raise WebpError("no VP8/VP8L/VP8X image chunk")
 
 
+def _chunks(data: bytes):
+    pos, n = 12, len(data)
+    while pos + 8 <= n:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        yield fourcc, data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def webp_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """WebP bytes → (width, height, 4, RGBA pixels) — REAL decode for
+    lossless (VP8L) files, including VP8X-wrapped ones.
+
+    Lossy VP8 pixel reconstruction (full intra prediction + loop filter)
+    stays behind the loud boundary; its losslessly-coded alpha plane IS
+    decodable — see :func:`webp_alpha`."""
+    if not looks_like_webp(data):
+        raise WebpError("not a WebP file (missing RIFF/WEBP)")
+    from . import vp8lmini
+    for fourcc, body in _chunks(data):
+        if fourcc == b"VP8L":
+            return vp8lmini.vp8l_decode(body)
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 pixel decode not implemented (boolean "
+                "arithmetic coder + intra prediction + loop filter); "
+                "lossless WebP decodes for real, and the lossy file's "
+                "alpha plane via webp_alpha()")
+    raise WebpError("no VP8/VP8L image chunk")
+
+
+def webp_alpha(data: bytes) -> bytes | None:
+    """Extended lossy WebP → the decoded ALPH alpha plane (VP8L-coded,
+    RFC 9649 §2.3.2), or None when the file carries no ALPH chunk."""
+    if not looks_like_webp(data):
+        raise WebpError("not a WebP file (missing RIFF/WEBP)")
+    from . import vp8lmini
+    alph = None
+    dims = None
+    for fourcc, body in _chunks(data):
+        if fourcc == b"ALPH":
+            alph = body
+        elif fourcc == b"VP8 ":         # frame dims govern the alpha plane
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise WebpError("bad VP8 key-frame header")
+            (w,) = struct.unpack("<H", body[6:8])
+            (h,) = struct.unpack("<H", body[8:10])
+            dims = (w & 0x3FFF, h & 0x3FFF)
+    if alph is None:
+        return None
+    if dims is None:
+        raise WebpError("ALPH chunk without a VP8 frame")
+    return vp8lmini.alph_decode(alph, dims[0], dims[1])
+
+
+def encode_webp_lossless(rgba: bytes, width: int, height: int,
+                         **vp8l_kwargs) -> bytes:
+    """RGBA pixels → a real lossless WebP file (VP8L fixture encoder
+    wrapped in the RIFF container)."""
+    from . import vp8lmini
+    body = vp8lmini.vp8l_encode(rgba, width, height, **vp8l_kwargs)
+    pad = b"\x00" if len(body) % 2 else b""     # RIFF pads, size excludes it
+    payload = b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body + pad
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 # ---------------------------------------------------------------------------
 # Writer (test fixture generator — header-only, body is opaque filler)
 # ---------------------------------------------------------------------------

@@ -50,23 +50,29 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     """The real codec slot.  PNG is fully implemented in pure stdlib
-    (``functions/pngmini.py`` — zlib inflate + per-row unfilter) and
-    baseline + progressive JPEG in stdlib+numpy (``functions/jpegmini.py``
-    — huffman + batched IDCT + multi-scan coefficient accumulation,
-    ImageIO-validated), so both decode for real; the remaining codecs
-    (WebP/video) need imaging libraries this container doesn't have —
-    deliberately loud so nobody mistakes the fake for them."""
-    from ..functions import jpegmini, pngmini
+    (``functions/pngmini.py`` — zlib inflate + per-row unfilter, incl.
+    indexed-palette), baseline + progressive JPEG in stdlib+numpy
+    (``functions/jpegmini.py`` — huffman + batched IDCT + multi-scan
+    coefficient accumulation, ImageIO-validated), and LOSSLESS WebP in
+    pure stdlib (``functions/vp8lmini.py`` — full VP8L: prefix codes,
+    LZ77 + color cache, all four transforms; validated byte-exact
+    against a real libwebp-encoded alpha stream), so all three decode
+    for real; lossy VP8 and video codecs stay deliberately loud so
+    nobody mistakes the fake for them."""
+    from ..functions import jpegmini, pngmini, webpmini
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
         return "png", w, h
     if payload[:2] == jpegmini.JPEG_SIG:
         w, h, _channels, _pix = jpegmini.decode_jpeg(payload)
         return "jpeg", w, h
+    if webpmini.looks_like_webp(payload):
+        w, h, _channels, _pix = webpmini.webp_decode(payload)  # lossless
+        return "webp", w, h                       # lossy raises (loud)
     raise NotImplementedError(
-        "non-PNG/JPEG codecs (WebP/video) need imaging libraries not "
-        "installed in this container; the deterministic fake decoder is "
-        "the hermetic test path for those")
+        "non-PNG/JPEG/lossless-WebP codecs (lossy VP8/video) need "
+        "imaging libraries not installed in this container; the "
+        "deterministic fake decoder is the hermetic test path for those")
 
 
 def _decode_fake(payload: bytes) -> tuple[str, int, int, int]:
@@ -147,13 +153,17 @@ def decode_media(df: DataFrame, content_col: str = "content",
                         out["error_message"].append(str(e))
                         continue
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-                    # real HEADER metadata (functions/webpmini.py) —
-                    # dimensions for curation filters; pixel decode stays
-                    # behind the loud boundary (round-4 verdict #6)
+                    # lossless (VP8L) → REAL pixel decode (vp8lmini);
+                    # lossy VP8 → real header metadata, RGB reconstruction
+                    # stays behind the loud boundary
                     try:
                         from ..functions import webpmini
                         m = webpmini.webp_meta(payload)
-                        fmt, w, h, dur = "webp", m["width"], m["height"], 0
+                        try:
+                            _fmt, w, h = _decode_image_real(payload)
+                        except NotImplementedError:   # lossy: header dims
+                            w, h = m["width"], m["height"]
+                        fmt, dur = "webp", 0
                     except Exception as e:
                         out["format"].append("webp")
                         out["width"].append(0)
@@ -228,7 +238,7 @@ def resize_media(df: DataFrame, content_col: str = "content",
     with the reason — the pipeline-continues error contract.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import jpegmini, pngmini
+        from ..functions import jpegmini, pngmini, webpmini
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "format", "width", "height",
@@ -253,14 +263,18 @@ def resize_media(df: DataFrame, content_col: str = "content",
                     fmt = "png"
                 elif payload[:2] == jpegmini.JPEG_SIG:
                     fmt = "jpeg"
+                elif webpmini.looks_like_webp(payload):
+                    fmt = "webp"
                 else:
                     emit(mid, None, 0, 0, 0, 0, None, False,
-                         "unsupported codec (PNG and baseline JPEG decode "
-                         "hermetically)")
+                         "unsupported codec (PNG, baseline JPEG and "
+                         "lossless WebP decode hermetically)")
                     continue
                 try:
                     if fmt == "png":
                         w, h, ch, pix = pngmini.decode_png(payload)
+                    elif fmt == "webp":       # lossless only; lossy raises
+                        w, h, ch, pix = webpmini.webp_decode(payload)
                     else:
                         w, h, ch, pix = jpegmini.decode_jpeg(payload)
                     if max(w, h) > max_edge:

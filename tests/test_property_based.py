@@ -91,15 +91,48 @@ def test_codec_parsers_never_hang_on_garbage(data):
     arbitrary bytes with either a decode or an exception (the mapInPandas
     kernels convert any exception into an error row — the contract is
     no hang, no partial garbage)."""
-    from databricks_pdf_ocr_spark.functions import jpegmini, mp4mini, wavmini
+    from databricks_pdf_ocr_spark.functions import (jpegmini, mp4mini,
+                                                    vp8lmini, wavmini)
     for fn, sig in ((jpegmini.decode_jpeg, b"\xff\xd8"),
                     (wavmini.decode_wav, b"RIFF"),
-                    (mp4mini.parse_mp4, b"\x00\x00\x00\x14ftyp")):
+                    (mp4mini.parse_mp4, b"\x00\x00\x00\x14ftyp"),
+                    (vp8lmini.vp8l_decode, bytes([0x2F, 0x07, 0x10, 0x38,
+                                                  0x00]))):
         for payload in (data, sig + data):
             try:
                 fn(payload)
             except Exception:
                 pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 14), st.integers(1, 9), st.integers(0, 9),
+       st.sampled_from([0, 2, 4]), st.booleans(), st.booleans())
+def test_vp8l_roundtrip_property(w, h, seed, cache_bits, lz77, bundle):
+    """vp8l_encode ∘ vp8l_decode is the identity over random small images
+    across transform/cache/LZ77 combinations."""
+    import random as _random
+
+    from databricks_pdf_ocr_spark.functions import vp8lmini
+    rng = _random.Random(f"vp8l:{w}:{h}:{seed}")
+    ncolors = rng.choice([2, 3, 7, None])
+    if ncolors:
+        pal = [bytes(rng.randrange(256) for _ in range(4))
+               for _ in range(ncolors)]
+        rgba = b"".join(pal[rng.randrange(ncolors)] for _ in range(w * h))
+    else:
+        rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    transforms = []
+    if bundle and ncolors:
+        transforms.append(("palette",))
+    elif rng.random() < 0.5:
+        transforms.append(("subtract_green",))
+        if rng.random() < 0.5:
+            transforms.append(("predictor", rng.randrange(14)))
+    body = vp8lmini.vp8l_encode(rgba, w, h, transforms=tuple(transforms),
+                                cache_bits=cache_bits, lz77=lz77,
+                                plain_distances=bool(seed % 2))
+    assert vp8lmini.vp8l_decode(body) == (w, h, 4, rgba)
 
 
 # ---------------------------------------------------------------------------
