@@ -36,10 +36,11 @@ MEDIA_META_DDL = (
     "error_message string"
 )
 
-#: per-frame rows emitted by frame_sample (video fan-out).  ``source``:
-#: 'mjpeg' = real decoded frame (sha over RGB/gray pixels, real dims);
-#: 'fake' = the documented deterministic stand-in for codecs this
-#: container cannot decode; 'error' = an MJPEG sample that failed decode
+#: per-frame rows emitted by frame_sample (video/animation fan-out).
+#: ``source``: 'mjpeg'/'gif' = real decoded frames (sha over pixel
+#: bytes, real dims); 'fake' = the documented deterministic stand-in
+#: for codecs this container cannot decode; 'error' = a sample/frame
+#: that failed decode
 FRAME_DDL = (
     "media_id string, frame_idx int, ts_ms long, frame_sha string, "
     "width int, height int, source string"
@@ -59,7 +60,7 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     against a real libwebp-encoded alpha stream), so all three decode
     for real; lossy VP8 and video codecs stay deliberately loud so
     nobody mistakes the fake for them."""
-    from ..functions import jpegmini, pngmini, webpmini
+    from ..functions import gifmini, jpegmini, pngmini, webpmini
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
         return "png", w, h
@@ -69,8 +70,11 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     if webpmini.looks_like_webp(payload):
         w, h, _channels, _pix = webpmini.webp_decode(payload)  # lossless
         return "webp", w, h                       # lossy raises (loud)
+    if gifmini.looks_like_gif(payload):
+        w, h, _channels, _pix = gifmini.decode_gif(payload)
+        return "gif", w, h
     raise NotImplementedError(
-        "non-PNG/JPEG/lossless-WebP codecs (lossy VP8/video) need "
+        "non-PNG/JPEG/GIF/lossless-WebP codecs (lossy VP8/video) need "
         "imaging libraries not installed in this container; the "
         "deterministic fake decoder is the hermetic test path for those")
 
@@ -146,6 +150,22 @@ def decode_media(df: DataFrame, content_col: str = "content",
                         dur = m["duration_ms"]
                     except Exception as e:
                         out["format"].append("mp4")
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["duration_ms"].append(0)
+                        out["decode_ok"].append(False)
+                        out["error_message"].append(str(e))
+                        continue
+                elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # real decode path (pure-stdlib gifmini); animations
+                    # report their real total duration
+                    try:
+                        from ..functions import gifmini
+                        m = gifmini.gif_meta(payload)
+                        fmt, w, h = "gif", m["width"], m["height"]
+                        dur = m["duration_ms"]
+                    except Exception as e:
+                        out["format"].append("gif")
                         out["width"].append(0)
                         out["height"].append(0)
                         out["duration_ms"].append(0)
@@ -238,7 +258,7 @@ def resize_media(df: DataFrame, content_col: str = "content",
     with the reason — the pipeline-continues error contract.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import jpegmini, pngmini, webpmini
+        from ..functions import gifmini, jpegmini, pngmini, webpmini
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "format", "width", "height",
@@ -265,9 +285,11 @@ def resize_media(df: DataFrame, content_col: str = "content",
                     fmt = "jpeg"
                 elif webpmini.looks_like_webp(payload):
                     fmt = "webp"
+                elif gifmini.looks_like_gif(payload):
+                    fmt = "gif"
                 else:
                     emit(mid, None, 0, 0, 0, 0, None, False,
-                         "unsupported codec (PNG, baseline JPEG and "
+                         "unsupported codec (PNG, baseline JPEG, GIF and "
                          "lossless WebP decode hermetically)")
                     continue
                 try:
@@ -275,6 +297,8 @@ def resize_media(df: DataFrame, content_col: str = "content",
                         w, h, ch, pix = pngmini.decode_png(payload)
                     elif fmt == "webp":       # lossless only; lossy raises
                         w, h, ch, pix = webpmini.webp_decode(payload)
+                    elif fmt == "gif":        # first composited frame
+                        w, h, ch, pix = gifmini.decode_gif(payload)
                     else:
                         w, h, ch, pix = jpegmini.decode_jpeg(payload)
                     if max(w, h) > max_edge:
@@ -512,13 +536,15 @@ def frame_sample(df: DataFrame, content_col: str = "content",
     (``functions/mp4mini.py``).  Motion-JPEG tracks (the one video codec
     this container CAN decode — every sample is a standalone JPEG) get
     REAL frames: the sample nearest each schedule point is decoded with
-    ``functions/jpegmini`` and hashed over its pixel bytes.  Other
-    codecs keep the documented deterministic fake (``source='fake'``);
-    an MJPEG sample that fails JPEG decode becomes a loud
+    ``functions/jpegmini`` and hashed over its pixel bytes.  Animated
+    GIFs likewise get REAL frames: the composited canvas at each
+    schedule point via ``functions/gifmini.gif_frames``
+    (``source='gif'``).  Other codecs keep the documented deterministic
+    fake (``source='fake'``); a sample that fails decode becomes a loud
     ``source='error'`` row rather than a silent fake.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import jpegmini, mp4mini
+        from ..functions import gifmini, jpegmini, mp4mini
 
         def emit(out, mid, i, ts, sha, w, h, src):
             out["media_id"].append(mid)
@@ -538,6 +564,29 @@ def frame_sample(df: DataFrame, content_col: str = "content",
                 if not payload:
                     continue
                 mid = hashlib.sha256(payload).hexdigest()
+                if gifmini.looks_like_gif(payload):
+                    # animated GIF → REAL composited frames; the lockstep
+                    # walk keeps ONE canvas (+1 lookahead) in memory, not
+                    # the whole animation
+                    try:
+                        meta = gifmini.gif_meta(payload)
+                        n = int(min(max_frames,
+                                    max(1, meta["duration_ms"] // every_ms)))
+                        frames_it = gifmini.gif_frames(payload)
+                        cur = next(frames_it)
+                        nxt = next(frames_it, None)
+                        for i in range(n):
+                            ts = i * every_ms
+                            while nxt is not None and nxt[0] <= ts:
+                                cur, nxt = nxt, next(frames_it, None)
+                            emit(out, mid, i, ts,
+                                 hashlib.sha256(cur[2]).hexdigest()[:16],
+                                 meta["width"], meta["height"], "gif")
+                    except Exception:
+                        emit(out, mid, 0, 0,
+                             hashlib.sha256(payload).hexdigest()[:16],
+                             0, 0, "error")
+                    continue
                 dur = None
                 samples = None
                 if mp4mini.looks_like_mp4(payload):

@@ -91,13 +91,15 @@ def test_codec_parsers_never_hang_on_garbage(data):
     arbitrary bytes with either a decode or an exception (the mapInPandas
     kernels convert any exception into an error row — the contract is
     no hang, no partial garbage)."""
-    from databricks_pdf_ocr_spark.functions import (jpegmini, mp4mini,
-                                                    vp8lmini, wavmini)
+    from databricks_pdf_ocr_spark.functions import (gifmini, jpegmini,
+                                                    mp4mini, vp8lmini,
+                                                    wavmini)
     for fn, sig in ((jpegmini.decode_jpeg, b"\xff\xd8"),
                     (wavmini.decode_wav, b"RIFF"),
                     (mp4mini.parse_mp4, b"\x00\x00\x00\x14ftyp"),
                     (vp8lmini.vp8l_decode, bytes([0x2F, 0x07, 0x10, 0x38,
-                                                  0x00]))):
+                                                  0x00])),
+                    (gifmini.decode_gif, b"GIF89a")):
         for payload in (data, sig + data):
             try:
                 fn(payload)
