@@ -33,7 +33,7 @@ Two hash configurations (``hash_mode``):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -595,3 +595,53 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 10) -> DataFrame:
+    """Sub-document exact dedup: remove repeated passages corpus-wide,
+    keeping only the FIRST occurrence (RefinedWeb / MassiveText recipe —
+    boilerplate paragraphs repeated across pages survive document-level
+    dedup but still poison training data).
+
+    Documents are chopped into non-overlapping ``k``-token chunks (the
+    paragraph unit for newline-free corpora); a chunk survives only in
+    its globally-first occurrence, ordered by (id, chunk index).  Emits
+    per doc: total chunks, surviving chunks, and the re-joined surviving
+    text (empty string when every chunk was seen earlier).
+
+    Scale shape: chunking is a narrow per-row transform over a
+    MATERIALIZED token array (attribute, not inline expression — the HOF
+    per-element re-eval trap); first-occurrence ranking is ONE window
+    shuffle keyed on chunk content (boilerplate chunks are hot keys —
+    AQE skew handling applies; the rank itself is a cheap per-key
+    row_number, never a cross join); reassembly is one hash-agg back on
+    the doc id.  No driver-side state, no all-pairs anything.
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     F.split(F.col(text_col), " ").alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(k)).cast("int")
+    chunks = F.when(
+        F.size("__toks") >= 1,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__toks"), i * k + 1, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select("id", F.posexplode(chunks).alias("idx", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("id", "idx")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    kept_structs = F.array_sort(F.collect_list(         # nulls dropped by
+        F.when(F.col("rn") == 1,                        # collect_list →
+               F.struct(F.col("idx"), F.col("chunk")))))  # survivors only
+    return (ranked.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.array_join(
+                     F.transform(kept_structs, lambda s: s["chunk"]),
+                     " ").alias("kept_text"))
+            .withColumnRenamed("id", id_col))

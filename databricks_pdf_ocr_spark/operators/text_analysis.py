@@ -320,3 +320,109 @@ def pack_plan(df: DataFrame, seq_len: int = 2048, n_shards: int = 32,
                 .alias("last_seq"),
                 ((F.col("cum_end") - F.col("n_tokens"))
                  % seq_len).cast("long").alias("start_in_seq")))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (the KenLM-perplexity stand-in)
+# ---------------------------------------------------------------------------
+
+def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus-fit LM —
+    the classic perplexity-style quality gate (CCNet / Gopher filter
+    documents whose LM score is an outlier; a unigram LM over the corpus
+    itself is the engine-portable, training-free version).
+
+    Two aggregations, both map-side-combinable: (1) the LM build is one
+    hash-agg over exploded tokens producing a |vocab|-row table — tiny
+    relative to the corpus, so it BROADCASTS back onto the token stream;
+    (2) the per-doc mean is a second hash-agg on the doc id.  The corpus
+    total rides along as a broadcast single-row cross join — nothing is
+    collected to the driver.  Emits (id, n_tokens, avg_logp) with the
+    mean rounded to absorb double summation-order differences.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    lm = toks.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    tot = lm.agg(F.sum("cnt").cast("long").alias("tot"))
+    scored = (toks.join(F.broadcast(lm), "w")
+              .crossJoin(F.broadcast(tot))
+              .select("id", F.log(F.col("cnt") / F.col("tot")).alias("logp")))
+    return (scored.groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg("logp"), 3).alias("avg_logp"))
+            .withColumnRenamed("id", id_col))
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+def mixture_rebalance(df: DataFrame, strata_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Resample toward a UNIFORM domain mixture: each stratum's
+    acceptance rate is ``min(1, target/count)`` where target =
+    corpus_size / n_strata, applied through the deterministic sha2 hash
+    gate (same idempotence property as :func:`hash_sample` — reruns and
+    cluster-size changes keep the identical sample).
+
+    Unlike :func:`hash_sample`, the rates come FROM the data: one tiny
+    count aggregation (|strata| rows) broadcast-joined back onto the
+    corpus — the standard two-phase shape for data-dependent sampling at
+    scale.  Rates are e6-scaled floor ints so the gate is integer math;
+    the rate expression is a fixed IEEE expression tree (mul before div)
+    evaluated identically by any engine.  Emits the surviving rows as
+    (id, stratum, rate_e6).
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").cast("long").alias("tot"),
+                     F.count("*").cast("long").alias("n_strata"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select(strata_col,
+                     F.least(
+                         F.lit(1000000).cast("long"),
+                         F.floor(F.lit(1000000.0) * (F.col("tot") * 1.0
+                                                     / F.col("n_strata"))
+                                 / F.col("cnt")).cast("long"))
+                     .alias("rate_e6")))
+    bucket = F.expr(
+        f"cast(conv(substr(sha2(cast({id_col} as string), 256), 1, 8), 16, 10) "
+        f"as bigint) % 1000000")
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(bucket < F.col("rate_e6"))
+            .select(F.col(id_col), F.col(strata_col), F.col("rate_e6")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: engine-portable PII patterns (Java regex AND RE2 — no backrefs, no
+#: lookaround): email, international-ish phone, dotted-quad IP
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Scrub PII before training: replace emails, dotted-quad IPs and
+    phone numbers with typed placeholder tokens, and count what was
+    removed per class (the audit columns a compliance review needs).
+
+    Order matters and is fixed: emails first (their local parts contain
+    digits a later pattern could chew up), then IPs (dotted digits),
+    then phones.  Counts are taken on the ORIGINAL text.  Pure JVM
+    column expressions — ``regexp_extract_all`` + chained
+    ``regexp_replace`` — zero Python in the hot path, no shuffle at all.
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), *counts, out.alias("redacted"))

@@ -1821,6 +1821,129 @@ def dedup_modes_agree(spark, sf_dir):
                                F.lit(True)).alias("modes_agree")))
 
 
+
+
+# ===========================================================================
+# round-5 additions: paragraph dedup, LM quality, mixture, PII
+# ===========================================================================
+
+@register("dedup_paragraph", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(w[(i.i * 10 + 1):(i.i * 10 + 10)], ' ') AS chunk
+  FROM toks,
+       LATERAL (SELECT unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i) i
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)                        AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT)  AS n_kept,
+       coalesce(string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+                '')                                    AS kept_text
+FROM ranked GROUP BY doc_id
+""")
+def dedup_paragraph(spark, sf_dir):
+    """Sub-document exact dedup (RefinedWeb): corpus-wide first-occurrence
+    wins per 10-token chunk; oracle recomputes the identical chunking +
+    ranking with DuckDB window functions."""
+    return dedup.paragraph_dedup(_t(spark, sf_dir, "documents"), k=10)
+
+
+@register("lm_quality", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), lm AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM lm
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT)          AS n_tokens,
+       round(avg(ln(cnt / tot)), 3)      AS avg_logp
+FROM toks JOIN lm USING (w) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def lm_quality(spark, sf_dir):
+    """Perplexity-style quality gate: per-doc mean unigram log-prob under
+    the corpus-fit LM (CCNet/Gopher filter shape); round(3) absorbs
+    double summation order."""
+    return text_analysis.unigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("mixture_rebalance", """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_strata FROM counts
+), rates AS (
+  SELECT lang,
+         least(CAST(1000000 AS BIGINT),
+               CAST(floor(1000000.0 * (tot * 1.0 / n_strata) / cnt)
+                    AS BIGINT)) AS rate_e6
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id, lang, rate_e6
+FROM documents JOIN rates USING (lang)
+WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < rate_e6
+""")
+def mixture_rebalance(spark, sf_dir):
+    """Uniform domain-mixture resampling: data-derived per-stratum
+    acceptance rates (tiny count agg broadcast back) through the
+    deterministic sha2 hash gate."""
+    return text_analysis.mixture_rebalance(_t(spark, sf_dir, "documents"),
+                                           strata_col="lang")
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+_PII_PHONE = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+@register("pii_redact", f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+              || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}'))    AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_IP}', '<IP>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM injected
+""")
+def pii_redact(spark, sf_dir):
+    """PII scrubbing with audit counts.  The corpus has no natural PII, so
+    the query deterministically injects one email/IP/phone per doc (pure
+    SQL-expressible concat on both sides) and the oracle proves the
+    redaction regexes + ordering produce identical scrubbed text."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+            F.lit(" call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    return text_analysis.pii_redact(injected)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 

@@ -66,3 +66,94 @@ def test_contamination_eval_side_never_self_pairs(spark):
          (ev_ids[1], "alpha beta gamma delta epsilon")],
         "doc_id long, text string")
     assert T.contamination_pairs(df, eval_mod=20, n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: paragraph dedup / unigram LM / mixture / PII
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from databricks_pdf_ocr_spark.operators import dedup as D
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"),        # chunks: "a b c", "d e f" (both first)
+         (2, "a b c x y z"),        # "a b c" dup of doc1 idx0; "x y z" kept
+         (3, "d e f a b c"),        # both chunks seen earlier -> empty
+         (4, "a b")],               # short tail chunk, unique -> kept
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in D.paragraph_dedup(df, k=3).collect()}
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"]) == (2, 2)
+    assert rows[1]["kept_text"] == "a b c d e f"
+    assert (rows[2]["n_chunks"], rows[2]["n_kept"]) == (2, 1)
+    assert rows[2]["kept_text"] == "x y z"
+    assert (rows[3]["n_chunks"], rows[3]["n_kept"]) == (2, 0)
+    assert rows[3]["kept_text"] == ""
+    assert (rows[4]["n_chunks"], rows[4]["n_kept"]) == (1, 1)
+    assert rows[4]["kept_text"] == "a b"
+
+
+def test_paragraph_dedup_order_preserved_within_doc(spark):
+    from databricks_pdf_ocr_spark.operators import dedup as D
+    # doc 2 keeps its 1st and 3rd chunks; kept_text must preserve idx order
+    df = spark.createDataFrame(
+        [(1, "m m m"), (2, "p p p m m m q q q")],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x for x in D.paragraph_dedup(df, k=3).collect()}[2]
+    assert (r["n_chunks"], r["n_kept"], r["kept_text"]) == (3, 2, "p p p q q q")
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.unigram_lm_scores(df).collect()}
+    # corpus: a x3, b x2, tot 5
+    exp1 = round((3 * math.log(3 / 5) + math.log(2 / 5)) / 4, 3)
+    exp2 = round(math.log(2 / 5), 3)
+    assert rows[1]["n_tokens"] == 4 and rows[1]["avg_logp"] == exp1
+    assert rows[2]["n_tokens"] == 1 and rows[2]["avg_logp"] == exp2
+
+
+def test_mixture_rebalance_rates_and_gate(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 8 else "de", "t") for i in range(10)],
+        "doc_id long, lang string, text string")
+    out = T.mixture_rebalance(df, strata_col="lang").collect()
+    rates = {r["lang"]: r["rate_e6"] for r in out}
+    # target = 10/2 = 5 per stratum: en 8 docs -> 625000, de 2 docs -> capped
+    assert rates.get("en", 625000) == 625000      # absent if no en survives
+    assert rates["de"] == 1000000                 # minority keeps everything
+    assert {r["doc_id"] for r in out if r["lang"] == "de"} == {8, 9}
+    # the kept/dropped split is exactly the sha2 gate, independently computed
+    kept_en = {r["doc_id"] for r in out if r["lang"] == "en"}
+    for i in range(8):
+        gate = int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16) \
+            % 1000000 < 625000
+        assert (i in kept_en) == gate
+
+
+def test_mixture_rebalance_deterministic_rerun(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", "t") for i in range(30)],
+        "doc_id long, lang string, text string")
+    a = sorted(r["doc_id"] for r in T.mixture_rebalance(df, "lang").collect())
+    b = sorted(r["doc_id"] for r in T.mixture_rebalance(df, "lang").collect())
+    assert a == b
+
+
+def test_pii_redact_planted_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "mail alice.smith+tag@mail.co and bob@x.org now"),
+         (2, "server 192.168.0.1 and 10.0.255.7 up"),
+         (3, "call +44-123-4567 or 1-555-0100 today"),
+         (4, "no pii here 999.999 @ not-an-email")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.pii_redact(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["redacted"]) == \
+        (2, "mail <EMAIL> and <EMAIL> now")
+    assert (rows[2]["n_ip"], rows[2]["redacted"]) == \
+        (2, "server <IP> and <IP> up")
+    assert (rows[3]["n_phone"], rows[3]["redacted"]) == \
+        (2, "call <PHONE> or <PHONE> today")
+    r4 = rows[4]
+    assert (r4["n_email"], r4["n_ip"], r4["n_phone"]) == (0, 0, 0)
+    assert r4["redacted"] == "no pii here 999.999 @ not-an-email"
