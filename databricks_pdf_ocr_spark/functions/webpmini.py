@@ -1,10 +1,8 @@
-"""WebP RIFF-header METADATA parser (pure stdlib) — scoped per round-4
-verdict #6: dimensions + lossy/lossless/extended flags from the
-container header, while pixel DECODE stays behind the loud
-``NotImplementedError`` boundary (a full VP8/VP8L entropy decoder is
-out of proportion for this container; WebP is the next-most-common
-crawl image encoding after JPEG/PNG, and curation filters want its
-dimensions without decoding).
+"""WebP container parser + decode router (pure stdlib): RIFF metadata
+(``webp_meta``), full pixel decode for BOTH variants (``webp_decode`` —
+lossless VP8L via ``vp8lmini``, lossy key-frame VP8 via ``vp8mini``,
+with ALPH alpha-plane merge), the alpha-only path (``webp_alpha``), and
+a lossless fixture encoder (``encode_webp_lossless``).
 
 Covers the three container layouts of the WebP spec (RFC 9649):
 - ``VP8 `` (lossy): key-frame start code ``9D 01 2A``, then 14-bit
@@ -79,24 +77,36 @@ def _chunks(data: bytes):
 
 def webp_decode(data: bytes) -> tuple[int, int, int, bytes]:
     """WebP bytes → (width, height, 4, RGBA pixels) — REAL decode for
-    lossless (VP8L) files, including VP8X-wrapped ones.
-
-    Lossy VP8 pixel reconstruction (full intra prediction + loop filter)
-    stays behind the loud boundary; its losslessly-coded alpha plane IS
-    decodable — see :func:`webp_alpha`."""
+    BOTH variants: lossless (VP8L, ``vp8lmini``) and lossy key-frame
+    VP8 (``vp8mini`` — boolean arithmetic coder, intra prediction,
+    loop filter), including VP8X-wrapped files.  A lossy file's ALPH
+    alpha plane (itself VP8L-coded) is merged in; opaque otherwise."""
     if not looks_like_webp(data):
         raise WebpError("not a WebP file (missing RIFF/WEBP)")
-    from . import vp8lmini
+    from . import vp8lmini, vp8mini
+    alph = None
+    vp8_body = None
     for fourcc, body in _chunks(data):
         if fourcc == b"VP8L":
             return vp8lmini.vp8l_decode(body)
-        if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 pixel decode not implemented (boolean "
-                "arithmetic coder + intra prediction + loop filter); "
-                "lossless WebP decodes for real, and the lossy file's "
-                "alpha plane via webp_alpha()")
-    raise WebpError("no VP8/VP8L image chunk")
+        if fourcc == b"ALPH":
+            alph = body
+        elif fourcc == b"VP8 ":
+            vp8_body = body
+    if vp8_body is None:
+        raise WebpError("no VP8/VP8L image chunk")
+    try:
+        w, h, _ch, rgb = vp8mini.vp8_decode(vp8_body)
+    except vp8mini.Vp8Error as exc:
+        raise WebpError(f"bad VP8 bitstream: {exc}") from exc
+    alpha = (vp8lmini.alph_decode(alph, w, h) if alph is not None
+             else b"\xff" * (w * h))
+    rgba = bytearray(w * h * 4)
+    rgba[0::4] = rgb[0::3]
+    rgba[1::4] = rgb[1::3]
+    rgba[2::4] = rgb[2::3]
+    rgba[3::4] = alpha
+    return w, h, 4, bytes(rgba)
 
 
 def webp_alpha(data: bytes) -> bytes | None:

@@ -7,11 +7,14 @@ Arrow-batched ``mapInPandas`` stages.
 
 This container has no imaging/audio libraries, so the engine carries its
 own pure-stdlib+numpy codecs for the formats that matter on the document
-hot path: PNG (``functions/pngmini.py``) and baseline + progressive JPEG
+hot path: PNG (``functions/pngmini.py``), baseline + progressive JPEG
 (``functions/jpegmini.py``, validated against the JVM ImageIO ground
-truth of ``spark.read.format("image")``).  The remaining codecs
-(WebP/video) stay behind a loudly-stubbed boundary with
-a clearly-marked deterministic fake — keyed on the payload bytes, so
+truth of ``spark.read.format("image")``), GIF (``functions/gifmini.py``)
+and BOTH WebP variants (lossless VP8L in ``functions/vp8lmini.py``,
+lossy VP8 in ``functions/vp8mini.py`` — validated byte-exact against
+the system libwebp reference decoder).  The remaining codecs (real
+video beyond MJPEG) stay behind a loudly-stubbed boundary with a
+clearly-marked deterministic fake — keyed on the payload bytes, so
 tests and goldens are stable.  Everything Spark-side is real and tested:
 schemas, Arrow batch shapes, partition behavior, metadata structs.
 
@@ -54,12 +57,14 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     (``functions/pngmini.py`` — zlib inflate + per-row unfilter, incl.
     indexed-palette), baseline + progressive JPEG in stdlib+numpy
     (``functions/jpegmini.py`` — huffman + batched IDCT + multi-scan
-    coefficient accumulation, ImageIO-validated), and LOSSLESS WebP in
-    pure stdlib (``functions/vp8lmini.py`` — full VP8L: prefix codes,
-    LZ77 + color cache, all four transforms; validated byte-exact
-    against a real libwebp-encoded alpha stream), so all three decode
-    for real; lossy VP8 and video codecs stay deliberately loud so
-    nobody mistakes the fake for them."""
+    coefficient accumulation, ImageIO-validated), and BOTH WebP variants
+    in pure stdlib: lossless VP8L (``functions/vp8lmini.py`` — prefix
+    codes, LZ77 + color cache, all four transforms) and lossy VP8
+    (``functions/vp8mini.py`` — boolean arithmetic coder, intra
+    prediction, loop filter; byte-exact vs the system libwebp reference
+    decoder), so every still-image web format decodes for real; video
+    codecs beyond MJPEG stay deliberately loud so nobody mistakes the
+    fake for them."""
     from ..functions import gifmini, jpegmini, pngmini, webpmini
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
@@ -68,15 +73,15 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
         w, h, _channels, _pix = jpegmini.decode_jpeg(payload)
         return "jpeg", w, h
     if webpmini.looks_like_webp(payload):
-        w, h, _channels, _pix = webpmini.webp_decode(payload)  # lossless
-        return "webp", w, h                       # lossy raises (loud)
+        w, h, _channels, _pix = webpmini.webp_decode(payload)
+        return "webp", w, h
     if gifmini.looks_like_gif(payload):
         w, h, _channels, _pix = gifmini.decode_gif(payload)
         return "gif", w, h
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF/lossless-WebP codecs (lossy VP8/video) need "
-        "imaging libraries not installed in this container; the "
-        "deterministic fake decoder is the hermetic test path for those")
+        "non-PNG/JPEG/GIF/WebP codecs (video) need imaging libraries "
+        "not installed in this container; the deterministic fake "
+        "decoder is the hermetic test path for those")
 
 
 def _decode_fake(payload: bytes) -> tuple[str, int, int, int]:
@@ -289,13 +294,13 @@ def resize_media(df: DataFrame, content_col: str = "content",
                     fmt = "gif"
                 else:
                     emit(mid, None, 0, 0, 0, 0, None, False,
-                         "unsupported codec (PNG, baseline JPEG, GIF and "
-                         "lossless WebP decode hermetically)")
+                         "unsupported codec (PNG, JPEG, GIF and WebP "
+                         "decode hermetically)")
                     continue
                 try:
                     if fmt == "png":
                         w, h, ch, pix = pngmini.decode_png(payload)
-                    elif fmt == "webp":       # lossless only; lossy raises
+                    elif fmt == "webp":       # lossless VP8L or lossy VP8
                         w, h, ch, pix = webpmini.webp_decode(payload)
                     elif fmt == "gif":        # first composited frame
                         w, h, ch, pix = gifmini.decode_gif(payload)

@@ -93,12 +93,16 @@ def test_codec_parsers_never_hang_on_garbage(data):
     no hang, no partial garbage)."""
     from databricks_pdf_ocr_spark.functions import (gifmini, jpegmini,
                                                     mp4mini, vp8lmini,
-                                                    wavmini)
+                                                    vp8mini, wavmini)
+    # VP8: a valid key-frame tag + start code pinning small (16x16)
+    # dimensions, so garbage exercises the header/token/partition paths
+    vp8_sig = b"\x20\x00\x00\x9d\x01\x2a\x10\x00\x10\x00"
     for fn, sig in ((jpegmini.decode_jpeg, b"\xff\xd8"),
                     (wavmini.decode_wav, b"RIFF"),
                     (mp4mini.parse_mp4, b"\x00\x00\x00\x14ftyp"),
                     (vp8lmini.vp8l_decode, bytes([0x2F, 0x07, 0x10, 0x38,
                                                   0x00])),
+                    (vp8mini.vp8_decode_yuv, vp8_sig),
                     (gifmini.decode_gif, b"GIF89a")):
         for payload in (data, sig + data):
             try:

@@ -46,10 +46,12 @@ def test_real_alph_stream_matches_png_alpha_byte_exact():
     assert len(set(plane)) > 20
 
 
-def test_real_lossy_webp_pixels_stay_loud():
+def test_real_lossy_webp_decodes_for_real_now():
+    """Superseded loud-boundary check: lossy VP8 decodes for real since
+    vp8mini landed (full parity suite in test_vp8_codec.py)."""
     webp = (DATA / "python.webp").read_bytes()
-    with pytest.raises(NotImplementedError, match="lossy VP8"):
-        webpmini.webp_decode(webp)
+    w, h, ch, rgba = webpmini.webp_decode(webp)
+    assert (w, h, ch) == (16, 16, 4) and len(rgba) == 1024
     m = webpmini.webp_meta(webp)
     assert (m["width"], m["height"]) == (16, 16)
 
