@@ -275,6 +275,22 @@ def pdf_corpus_rows(seed: int, n_docs: int):
                                      xref_stream=(idx % 2 == 1))
 
 
+def text_corpus_rows(seed: int, n_docs: int):
+    """Deterministic plain-text corpus ``(doc_id, text)`` for the
+    tokenizer path — every byte a pure function of ``(seed, idx)`` so
+    the Spark query and the no-Spark golden builder see the identical
+    corpus (the ``pdf_corpus_rows`` pattern).  Mixes prose with digit /
+    punctuation runs so training sees every pre-token class."""
+    for idx in range(n_docs):
+        rng = random.Random(f"text:{seed}:{idx}")
+        parts = [_paragraph(rng) for _ in range(rng.randint(1, 3))]
+        if rng.random() < 0.5:
+            parts.append(f"Ref {rng.randint(0, 9999)}-{rng.randint(0, 99)}"
+                         f": total ${rng.randint(1, 500)}"
+                         f".{rng.randint(0, 99):02d} (qty {rng.randint(1, 40)})")
+        yield doc_id_for(seed, idx), "\n\n".join(parts)
+
+
 def warc_corpus_records(seed: int, n_segments: int = 6,
                         recs_per_segment: int = 8):
     """Deterministic crawl-segment corpus for the ``warc_e2e`` oracle:

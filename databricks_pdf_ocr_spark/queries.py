@@ -1944,6 +1944,43 @@ def pii_redact(spark, sf_dir):
     return text_analysis.pii_redact(injected)
 
 
+#: must mirror tools/make_golden_parquet.py::bpe_golden_table exactly
+BPE_SEED, BPE_DOCS, BPE_TOP_K, BPE_MERGES = 42, 300, 4096, 200
+
+
+@register("bpe_tokenize", """
+SELECT doc_id, n_tokens, tokens
+FROM read_parquet('/root/repo/tests/data/golden_bpe.parquet')
+""")
+def bpe_tokenize(spark, sf_dir):
+    """BPE tokenization end-to-end over a deterministic fixture corpus:
+    distributed word-frequency statistics (one hash-agg) → driver-side
+    merge-table fit (model-scale, deterministic tie-breaks) →
+    distributed broadcast-model encode (zero shuffle).
+
+    Oracle: the identical corpus through the pure single-process
+    kernels with NO Spark (``tools/make_golden_parquet.py::
+    bpe_golden_table`` → committed golden parquet) — the ``warc_e2e``
+    pattern: the driver row proves the distributed path reproduces the
+    sequential truth bit-for-bit, which a SQL engine cannot recompute
+    (the merge loop is iterative)."""
+    from . import fixtures
+    from .operators import tokenize
+
+    rows = list(fixtures.text_corpus_rows(BPE_SEED, BPE_DOCS))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string") \
+        .repartition(8)
+    wc = [(r["word"], r["n"])
+          for r in tokenize.word_counts(corpus, top_k=BPE_TOP_K).collect()]
+    merges, vocab = tokenize.bpe_train(wc, num_merges=BPE_MERGES)
+    enc = tokenize.bpe_encode(corpus, merges, vocab)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.array_join(F.transform("token_ids",
+                                 lambda t: t.cast("string")),
+                     " ").alias("tokens"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 

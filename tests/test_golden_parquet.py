@@ -5,7 +5,8 @@ from silently invalidating the flagship and pdf_images oracles)."""
 import pyarrow.parquet as pq
 
 from tools.make_golden_parquet import (
-    GOLDEN_PATH, PDFIMG_GOLDEN_PATH, golden_table, pdf_images_golden_table,
+    BPE_GOLDEN_PATH, GOLDEN_PATH, PDFIMG_GOLDEN_PATH, bpe_golden_table,
+    golden_table, pdf_images_golden_table,
 )
 
 
@@ -27,3 +28,8 @@ def test_pdf_images_golden_covers_contract():
     assert any(not ok for ok in t["extract_ok"])
     assert all(msg for ok, msg in zip(t["extract_ok"], t["error_message"])
                if not ok)
+
+
+def test_bpe_golden_fresh():
+    assert pq.read_table(BPE_GOLDEN_PATH).equals(bpe_golden_table()), \
+        "stale golden — python tools/make_golden_parquet.py"

@@ -225,6 +225,44 @@ def warc_linkgraph_golden_table() -> pa.Table:
     })
 
 
+BPE_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_bpe.parquet"
+
+#: must mirror queries.bpe_tokenize exactly
+BPE_SEED, BPE_DOCS, BPE_TOP_K, BPE_MERGES = 42, 300, 4096, 200
+
+
+def bpe_golden_table() -> pa.Table:
+    """Single-process truth for the tokenizer path: the identical
+    fixture corpus pre-tokenized with Python ``re``, word-frequency
+    table built with a Counter (same (count desc, word asc) top-K cut
+    as the distributed hash-agg), the same deterministic BPE fit, and
+    the sequential encoder — NO Spark anywhere."""
+    import re as _re
+    from collections import Counter
+
+    from databricks_pdf_ocr_spark.operators import tokenize as T
+
+    rows = list(fixtures.text_corpus_rows(BPE_SEED, BPE_DOCS))
+    counts: Counter = Counter()
+    for _did, text in rows:
+        counts.update(_re.findall(T.PRETOKEN_PATTERN, text))
+    wc = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    merges, vocab = T.bpe_train(wc, num_merges=BPE_MERGES)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    dids, n_col, tok_col = [], [], []
+    for did, text in rows:
+        ids = T.bpe_encode_text(text, ranks, vocab)
+        dids.append(did)
+        n_col.append(len(ids))
+        tok_col.append(" ".join(str(i) for i in ids))
+    return pa.table({
+        "doc_id": pa.array(dids, pa.string()),
+        "n_tokens": pa.array(n_col, pa.int32()),
+        "tokens": pa.array(tok_col, pa.string()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
@@ -232,7 +270,8 @@ def main(argv=None) -> int:
                         (WARC_GOLDEN_PATH, warc_golden_table()),
                         (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table()),
                         (LINKGRAPH_GOLDEN_PATH,
-                         warc_linkgraph_golden_table())):
+                         warc_linkgraph_golden_table()),
+                        (BPE_GOLDEN_PATH, bpe_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
