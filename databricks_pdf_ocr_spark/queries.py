@@ -1944,6 +1944,101 @@ def pii_redact(spark, sf_dir):
     return text_analysis.pii_redact(injected)
 
 
+_URL_SYNTH_SQL = """
+  SELECT doc_id, CASE doc_id % 5
+    WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)
+             || '.COM:80/banner/' || CAST(doc_id AS VARCHAR) || '?'
+    WHEN 1 THEN 'https://CDN.Site' || CAST(doc_id % 13 AS VARCHAR)
+             || '.org:443/assets/img' || CAST(doc_id AS VARCHAR) || '#frag'
+    WHEN 2 THEN 'http://news.example' || CAST(doc_id % 11 AS VARCHAR)
+             || '.net:8080/story?id=' || CAST(doc_id AS VARCHAR)
+    WHEN 3 THEN 'https://blog.example' || CAST(doc_id % 11 AS VARCHAR)
+             || '.net/post/' || CAST(doc_id AS VARCHAR) || '#'
+    ELSE 'HTTPS://www.Spam-Domain.biz/x' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents
+"""
+
+_URL_NORM_SQL = f"""
+WITH synth AS ({_URL_SYNTH_SQL}),
+d1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS defrag
+       FROM synth),
+d2 AS (SELECT *, lower(regexp_extract(defrag,
+         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) AS pref FROM d1),
+d3 AS (SELECT *, substr(defrag, length(pref) + 1) AS rest FROM d2),
+d4 AS (SELECT doc_id, url,
+         regexp_replace(regexp_replace(pref,
+           '^(http://[^/?#]*):80$', '\\1'),
+           '^(https://[^/?#]*):443$', '\\1') AS pref2,
+         CASE WHEN regexp_replace(rest, '\\?$', '') = '' THEN '/'
+              ELSE regexp_replace(rest, '\\?$', '') END AS rest2
+       FROM d3)
+SELECT doc_id, url, pref2 || rest2 AS url_norm,
+       regexp_extract(pref2 || rest2,
+         '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+FROM d4
+"""
+
+
+def _synth_urls(docs):
+    """Deterministic messy-URL column over the documents table (pure
+    SQL-expressible on both engines, the pii_redact injection pattern):
+    mixed-case schemes/hosts, default and explicit ports, fragments,
+    empty queries, subdomain depth for suffix blocklists."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = (F.when(did % 5 == 0, F.concat(
+                F.lit("HTTP://Ads.Tracker"), s(did % 7),
+                F.lit(".COM:80/banner/"), s(did), F.lit("?")))
+            .when(did % 5 == 1, F.concat(
+                F.lit("https://CDN.Site"), s(did % 13),
+                F.lit(".org:443/assets/img"), s(did), F.lit("#frag")))
+            .when(did % 5 == 2, F.concat(
+                F.lit("http://news.example"), s(did % 11),
+                F.lit(".net:8080/story?id="), s(did)))
+            .when(did % 5 == 3, F.concat(
+                F.lit("https://blog.example"), s(did % 11),
+                F.lit(".net/post/"), s(did), F.lit("#")))
+            .otherwise(F.concat(
+                F.lit("HTTPS://www.Spam-Domain.biz/x"), s(did))))
+    return docs.select("doc_id", url.alias("url"))
+
+
+@register("url_normalize", _URL_NORM_SQL)
+def url_normalize(spark, sf_dir):
+    """Crawl-URL canonicalization: fragment strip, authority lowercase,
+    default-port drop, empty-query drop, '/' path for authority-only
+    URLs, host extraction — pure chained column regexps (zero shuffle),
+    step-mirrored in the DuckDB oracle."""
+    from .operators import linkgraph
+
+    return linkgraph.url_normalize(
+        _synth_urls(_t(spark, sf_dir, "documents")))
+
+
+_BLOCKLIST = ("tracker0.com", "tracker1.com", "tracker2.com",
+              "spam-domain.biz")
+
+@register("url_blocklist", f"""
+WITH norm AS ({_URL_NORM_SQL})
+SELECT doc_id, host FROM norm n
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES {", ".join(f"('{b}')" for b in _BLOCKLIST)}) b(s)
+  WHERE n.host = b.s OR n.host LIKE '%.' || b.s)
+""")
+def url_blocklist(spark, sf_dir):
+    """Host-suffix blocklist filtering: the distinct-host table's
+    suffix chains explode to equi-join keys semi-joined against the
+    broadcast blocklist; the corpus anti-joins the blocked-host set.
+    The oracle re-derives the same drop set with LIKE suffix
+    semantics."""
+    from .operators import linkgraph
+
+    norm = linkgraph.url_normalize(
+        _synth_urls(_t(spark, sf_dir, "documents")))
+    return (linkgraph.blocklist_filter(norm, _BLOCKLIST)
+            .select("doc_id", "host"))
+
+
 #: must mirror tools/make_golden_parquet.py::bpe_golden_table exactly
 BPE_SEED, BPE_DOCS, BPE_TOP_K, BPE_MERGES = 42, 300, 4096, 200
 
