@@ -144,3 +144,24 @@ def blocklist_filter(df: DataFrame, blocked_suffixes,
                            F.col("_sfx") == F.col("suffix"), "left_semi")
                      .select(host_col).distinct())
     return df.join(blocked_hosts, host_col, "left_anti")
+
+
+def frontier_schedule(df: DataFrame, host_col: str = "host",
+                      order_col: str = "priority",
+                      per_wave: int = 1) -> DataFrame:
+    """Politeness scheduling for a fetch frontier: URLs are assigned to
+    fetch ``wave``s so no host sees more than ``per_wave`` concurrent
+    requests — the standard crawl-rate constraint.
+
+    One shuffle (hash by host) + a per-host ``row_number`` window; the
+    deterministic (order desc, url/id) ordering makes the schedule a
+    pure function of the frontier.  Giant hosts simply produce deep
+    wave numbers — the semantics, not a skew bug; AQE handles the
+    partition imbalance."""
+    from pyspark.sql import Window
+
+    order_cols = [F.col(order_col).desc()] + \
+        [F.col(c) for c in df.columns if c != order_col]
+    w = Window.partitionBy(host_col).orderBy(*order_cols)
+    rank = F.row_number().over(w) - 1
+    return df.withColumn("wave", F.floor(rank / per_wave).cast("int"))

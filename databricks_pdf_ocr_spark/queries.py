@@ -2039,6 +2039,31 @@ def url_blocklist(spark, sf_dir):
             .select("doc_id", "host"))
 
 
+@register("frontier_schedule", f"""
+WITH norm AS ({_URL_NORM_SQL}),
+pri AS (SELECT doc_id, url_norm, host, doc_id % 97 AS priority FROM norm)
+SELECT doc_id, host, priority,
+       CAST((row_number() OVER (PARTITION BY host
+             ORDER BY priority DESC, doc_id, url_norm) - 1) // 2 AS INT)
+         AS wave
+FROM pri
+""")
+def frontier_schedule(spark, sf_dir):
+    """Crawl politeness scheduling: per-host fetch waves capped at 2
+    concurrent requests per host, deterministically ordered by priority
+    — one hash shuffle + a row_number window, mirrored exactly by the
+    DuckDB window recursion."""
+    from .operators import linkgraph
+
+    norm = linkgraph.url_normalize(
+        _synth_urls(_t(spark, sf_dir, "documents")))
+    pri = norm.select("doc_id", "url_norm", "host",
+                      (F.col("doc_id") % 97).alias("priority"))
+    sched = linkgraph.frontier_schedule(pri, order_col="priority",
+                                        per_wave=2)
+    return sched.select("doc_id", "host", "priority", "wave")
+
+
 #: must mirror tools/make_golden_parquet.py::bpe_golden_table exactly
 BPE_SEED, BPE_DOCS, BPE_TOP_K, BPE_MERGES = 42, 300, 4096, 200
 

@@ -72,3 +72,28 @@ def test_blocklist_filter_semantics_and_plan(spark):
     assert "BroadcastHashJoin" in plan, \
         "blocklist must join broadcast, not nested-loop"
     assert "NestedLoop" not in plan
+
+
+def test_frontier_schedule_politeness_invariant(spark):
+    """No host may exceed per_wave rows in any wave; waves are dense
+    from 0 per host; higher priority fetches first."""
+    rows = [(i, f"h{i % 3}.com", i * 7 % 13) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, host string, priority int")
+    out = linkgraph.frontier_schedule(df, per_wave=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault((r["host"], r["wave"]), []).append(r)
+    assert all(len(v) <= 2 for v in per.values())
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        waves = sorted({r["wave"] for r in rs})
+        assert waves == list(range(len(waves)))          # dense from 0
+        # priority monotone: a later wave never outranks an earlier one
+        best_next = [max(r["priority"] for r in rs if r["wave"] == w)
+                     for w in waves]
+        worst_prev = [min(r["priority"] for r in rs if r["wave"] == w)
+                      for w in waves]
+        for w in range(1, len(waves)):
+            assert best_next[w] <= worst_prev[w - 1]
