@@ -598,3 +598,152 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ): the memory-compressed ANN serving shape
+# ---------------------------------------------------------------------------
+
+def pq_train(embeddings: DataFrame, dim: int, m: int = 4, ksub: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    space splits into ``m`` subspaces of dim/m and each gets its own
+    ``ksub``-centroid k-means codebook — so a vector stores as m small
+    codes (m bytes at ksub ≤ 256) instead of dim floats.
+
+    Reuses the deterministic ``ivf_assign`` k-means recursion per
+    subspace slice (sha2-seeded init, Lloyd rounds, engine-portable
+    arithmetic); the returned model is m × ksub × (dim/m) floats —
+    control-plane sized, like the coarse centroids."""
+    dsub = dim // m
+    if dsub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    codebooks = []
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col))
+        _assigned, cents = ivf_assign(sub, n_clusters=ksub,
+                                      id_col=id_col, vec_col=vec_col)
+        codebooks.append([[float(x) for x in c] for c in cents])
+    return codebooks
+
+
+def pq_encode(embeddings: DataFrame, codebooks,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """(id, vector) → (id, codes array<int>): nearest codebook entry
+    per subspace.  ONE broadcast crossJoin against the m·ksub codebook
+    rows + two hash-aggs (per-(id,sub) argmin via ``min_by``, then
+    ordered code assembly) — the same engine-portable arithmetic the
+    DuckDB oracle replays, never a chained-when argmin."""
+    spark = embeddings.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    rows = [(s, ci, c) for s, cb in enumerate(codebooks)
+            for ci, c in enumerate(cb)]
+    cdf = spark.createDataFrame(rows, "sub int, code int, cvec array<double>")
+    e = embeddings.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+    sub_slice = F.slice(F.col("v"), F.col("sub") * dsub + 1, dsub)
+    dist = F.aggregate(
+        F.zip_with(sub_slice, F.col("cvec"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"), lambda a, x: a + x)
+    pairs = e.crossJoin(F.broadcast(cdf)).withColumn("dist", dist)
+    per_sub = (pairs.groupBy("id", "sub")
+               .agg(F.min_by("code", F.struct("dist", "code"))
+                    .alias("code")))
+    return (per_sub.groupBy("id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda st: st["code"]).alias("codes")))
+
+
+def _adc_scorer(codebooks):
+    """Asymmetric-distance scorer: per query, an m × ksub lookup table
+    of subspace distances (one numpy broadcastized square per distinct
+    query, cached per Arrow batch); each candidate scores as m table
+    lookups — the PQ hot path, no reconstruction materialized."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)    # m x ksub x dsub
+    m, _ksub, dsub = cb.shape
+
+    @F.pandas_udf("double")
+    def adc(qv, codes):
+        import pandas as pd
+        out = []
+        luts: dict = {}
+        idx = np.arange(m)
+        for q, cs in zip(qv, codes):
+            tq = tuple(q)
+            lut = luts.get(tq)
+            if lut is None:
+                qa = np.asarray(q, dtype=np.float64).reshape(m, dsub)
+                lut = ((cb - qa[:, None, :]) ** 2).sum(axis=2)
+                luts[tq] = lut
+            out.append(float(lut[idx, np.asarray(cs)].sum()))
+        return pd.Series(out, dtype="float64")
+
+    return adc
+
+
+def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                n_clusters: int = 16, nprobe: int = 4, m: int = 4,
+                ksub: int = 8, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "query_id",
+                rerank: int | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k: float coarse centroids route queries
+    (nprobe of n_clusters lists), candidates score by asymmetric
+    distance against their m-byte PQ codes.  The 100 TB serving shape
+    one step beyond int8: the corpus holds dim/m-fold-compressed codes,
+    only the two tiny models (coarse centroids + codebooks) and the
+    query batch are broadcast.  Returns (query_id, neighbor_id, rank,
+    dist) ranked by ascending ADC distance."""
+    assigned, centroids = ivf_assign(embeddings, n_clusters,
+                                     id_col=id_col, vec_col=vec_col)
+    codebooks = pq_train(embeddings, dim=dim, m=m, ksub=ksub,
+                         id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(embeddings, codebooks, id_col=id_col,
+                      vec_col=vec_col)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cluster int, cvec array<double>")
+    probes = _probe_clusters(queries, cdf, nprobe, qid_col, vec_col)
+    cands = (assigned.select("cluster", "id")
+             .join(F.broadcast(probes.select("query_id", "cluster", "qv")),
+                   "cluster")
+             .filter(F.col("id") != F.col("query_id"))
+             .join(codes, "id"))
+    adc = _adc_scorer(codebooks)
+    scored = cands.select(
+        "query_id", F.col("id").alias("neighbor_id"), "qv",
+        F.round(adc(F.col("qv"), F.col("codes")), 6).alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    if rerank is None:
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("int").alias("rank"), "dist"))
+    # two-stage serving: ADC shortlist of `rerank` candidates per query
+    # (order within a shared-code cell is arbitrary — ties cut by
+    # neighbor_id, deterministically), then exact cosine over the
+    # shortlist's float vectors — the only stage that touches them
+    short = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= rerank)
+             .drop("rn", "dist"))
+    vecs = embeddings.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("nv"))
+    rr = short.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        F.round(cosine_sim(F.col("qv"), F.col("nv")), 6).alias("cosine"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("neighbor_id"))
+    return (rr.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "cosine"))

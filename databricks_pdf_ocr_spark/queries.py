@@ -1228,6 +1228,153 @@ def ann_lsh_indexed(spark, sf_dir):
     return similarity.lsh_ann_topk_indexed(io, q, k=5, dim=dim)
 
 
+_PQ_M, _PQ_KSUB = 4, 8
+
+
+def _pq_kmeans_cte(s: int, dsub: int, ksub: int) -> str:
+    """Per-subspace PQ codebook fit: the `_ivf_kmeans_cte` recursion
+    over the subspace slice ``embedding[s*dsub+1 : (s+1)*dsub]`` —
+    sha2-ordered init, two Lloyd rounds, final full-corpus code
+    assignment ``afs{s}`` (id, code)."""
+    lo = s * dsub
+
+    def dist(prefix: str, cvec: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dsub + 1}), i -> "
+                f"(CAST({prefix}.embedding[{lo} + i] AS DOUBLE)"
+                f" - {cvec}[i]) * "
+                f"(CAST({prefix}.embedding[{lo} + i] AS DOUBLE)"
+                f" - {cvec}[i])))")
+
+    slice_v = (f"list_transform(embedding[{lo + 1}:{lo + dsub}], "
+               f"x -> CAST(x AS DOUBLE))")
+    mean_list = "[" + ", ".join(f"avg(v[{i + 1}])"
+                                for i in range(dsub)) + "]"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT e.vec_id AS id, {slice_v.replace('embedding', 'e.embedding')} AS v,
+         t.code
+  FROM embeddings e CROSS JOIN {cents} t
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY {dist('e', 't.cvec')}, t.code) = 1)"""
+
+    def update(mname: str, cname: str, prev: str, aname: str) -> str:
+        return f"""{mname} AS (
+  SELECT code, {mean_list} AS mvec FROM {aname} GROUP BY code),
+{cname} AS (
+  SELECT p.code, coalesce(m.mvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN {mname} m USING (code))"""
+
+    return f"""init_s{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR)))
+              AS INT) - 1 AS code,
+         {slice_v} AS cvec
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY sha256(CAST(vec_id AS VARCHAR)))
+          <= {ksub}),
+{assign(f'a1_s{s}', f'init_s{s}')},
+{update(f'm1_s{s}', f'c1_s{s}', f'init_s{s}', f'a1_s{s}')},
+{assign(f'a2_s{s}', f'c1_s{s}')},
+{update(f'm2_s{s}', f'c2_s{s}', f'c1_s{s}', f'a2_s{s}')},
+{assign(f'afs{s}', f'c2_s{s}')}"""
+
+
+def _ann_ivf_pq_sql(dim=_ANN_DIM, n_clusters=_ANN_CLUSTERS,
+                    nprobe=_ANN_NPROBE, k=_ANN_K, n_queries=_ANN_NQ,
+                    m=_PQ_M, ksub=_PQ_KSUB, rerank=None) -> str:
+    """DuckDB recomputation of ivf_pq_topk: the coarse k-means prefix,
+    m per-subspace codebook recursions, code assignment, and candidate
+    scoring against the RECONSTRUCTED vectors — mathematically the same
+    sum of subspace squared distances the Spark side evaluates via ADC
+    lookup tables (round(,6) absorbs the summation-grouping ulp)."""
+    dsub = dim // m
+    if rerank:
+        tail = f"""short AS (
+  SELECT query_id, neighbor_id, qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY dist, neighbor_id) AS rn FROM scored)
+  WHERE rn <= {rerank}),
+rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_sql_cos('s.qv', 'e.embedding', dim)}, 6) AS cosine
+  FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rr)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= {k}
+"""
+    else:
+        tail = f"""ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dist
+FROM ranked WHERE rank <= {k}
+"""
+    subs = ",\n".join(_pq_kmeans_cte(s, dsub, ksub) for s in range(m))
+    code_joins = " ".join(f"JOIN afs{s} x{s} USING (id)" for s in range(1, m))
+    recon = " || ".join(f"cb{s}.cvec" for s in range(m))
+    cb_joins = " ".join(
+        f"JOIN c2_s{s} cb{s} ON cb{s}.code = "
+        + (f"x{s}.code" if s else "x0.code") for s in range(m))
+    return _ivf_kmeans_cte(dim, n_clusters) + f""",
+{subs},
+probes AS (
+  SELECT q.vec_id AS query_id, t.cluster, q.embedding AS qv
+  FROM embeddings q CROSS JOIN c2 t
+  WHERE q.vec_id < {n_queries}
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {_ivf_dist('q.embedding', 't.cvec', dim)}, t.cluster)
+      <= {nprobe}),
+cands AS (
+  SELECT p.query_id, a.id AS neighbor_id, p.qv
+  FROM af a JOIN probes p USING (cluster)
+  WHERE a.id != p.query_id),
+recon AS (
+  SELECT x0.id AS id, {recon} AS rv
+  FROM afs0 x0 {code_joins} {cb_joins}),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.qv,
+         round({_ivf_dist('c.qv', 'r.rv', dim)}, 6) AS dist
+  FROM cands c JOIN recon r ON r.id = c.neighbor_id),
+{tail}"""
+
+
+@register("ann_ivf_pq", _ann_ivf_pq_sql())
+def ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ: float coarse routing + m-byte product-quantized codes
+    scored by asymmetric distance — the dim/m-fold memory-compressed
+    serving shape one step beyond int8 (`ann_ivf_quantized`).  The
+    oracle replays coarse + m subspace k-means recursions and scores
+    candidates against reconstructed vectors (mathematically the same
+    subspace-distance sum as the ADC lookup path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_pq_topk(
+        emb, q, k=_ANN_K, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, dim=_ANN_DIM)
+
+
+@register("ann_ivf_pq_rerank", _ann_ivf_pq_sql(rerank=4 * _ANN_K))
+def ann_ivf_pq_rerank(spark, sf_dir):
+    """The two-stage PQ serving pipeline: ADC shortlist (4k candidates
+    per query, deterministic tie cut) → exact cosine re-rank over the
+    shortlist's float vectors — order WITHIN a shared-code cell is
+    arbitrary under pure ADC, so production always re-ranks; only this
+    stage touches uncompressed vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_pq_topk(
+        emb, q, k=_ANN_K, n_clusters=_ANN_CLUSTERS, nprobe=_ANN_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, dim=_ANN_DIM, rerank=4 * _ANN_K)
+
+
 @register("ann_ivf_topk", _ann_ivf_sql())
 def ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
