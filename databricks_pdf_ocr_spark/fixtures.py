@@ -291,6 +291,53 @@ def text_corpus_rows(seed: int, n_docs: int):
         yield doc_id_for(seed, idx), "\n\n".join(parts)
 
 
+def image_corpus_rows(seed: int, n_base: int = 10, variants: int = 3):
+    """Deterministic ``(name, payload)`` media corpus for the perceptual
+    near-dup path: ``n_base`` visually distinct block-structured images,
+    each re-encoded ``variants`` ways (PNG / GIF / lossless WebP, with a
+    tiny per-variant pixel perturbation) — same-base variants are true
+    near-duplicates (dHash within a few bits), different bases are far
+    apart.  Every byte is a pure function of ``(seed, idx)`` so the
+    Spark query and the no-Spark golden builder see identical payloads.
+    """
+    from .functions import gifmini, pngmini, webpmini
+
+    w, h = 36, 28
+    for b in range(n_base):
+        cell = {}
+        for cy in range(4):
+            for cx in range(6):
+                d = hashlib.sha256(
+                    f"img:{seed}:{b}:{cx}:{cy}".encode()).digest()
+                cell[(cx, cy)] = (d[0], d[1], d[2])
+        for v in range(variants):
+            rgb = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    r, g, bl = cell[(x * 6 // w, y * 4 // h)]
+                    if v and (x * 31 + y * 17 + b) % 37 == 0:
+                        jit = ((x + y + v) % 5) - 2      # tiny, sparse
+                        r = min(255, max(0, r + jit))
+                        g = min(255, max(0, g + jit))
+                    o = (y * w + x) * 3
+                    rgb[o], rgb[o + 1], rgb[o + 2] = r, g, bl
+            kind = v % 3
+            if kind == 0:
+                payload = pngmini.encode_png(bytes(rgb), w, h, 3)
+            else:
+                rgba = bytearray(w * h * 4)
+                rgba[0::4] = rgb[0::3]
+                rgba[1::4] = rgb[1::3]
+                rgba[2::4] = rgb[2::3]
+                rgba[3::4] = b"\xff" * (w * h)
+                if kind == 1:
+                    payload = gifmini.encode_gif([(bytes(rgba), 0)], w, h)
+                else:
+                    payload = webpmini.encode_webp_lossless(
+                        bytes(rgba), w, h)
+            yield f"img-{b}-{v}", payload
+
+
 def warc_corpus_records(seed: int, n_segments: int = 6,
                         recs_per_segment: int = 8):
     """Deterministic crawl-segment corpus for the ``warc_e2e`` oracle:

@@ -652,3 +652,98 @@ def embed_media(df: DataFrame, content_col: str = "content") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return df.mapInPandas(run, schema="media_id string, embedding array<float>")
+
+
+# ---------------------------------------------------------------------------
+# perceptual media near-dup (dHash + Hamming banding)
+# ---------------------------------------------------------------------------
+
+def _decode_pixels(payload: bytes):
+    """Payload → (format, w, h, channels, pixels) via the real codecs."""
+    from ..functions import gifmini, jpegmini, pngmini, webpmini
+    if payload[:8] == pngmini.PNG_SIG:
+        w, h, ch, pix = pngmini.decode_png(payload)
+        return "png", w, h, ch, pix
+    if payload[:2] == jpegmini.JPEG_SIG:
+        w, h, ch, pix = jpegmini.decode_jpeg(payload)
+        return "jpeg", w, h, ch, pix
+    if webpmini.looks_like_webp(payload):
+        w, h, ch, pix = webpmini.webp_decode(payload)
+        return "webp", w, h, ch, pix
+    if gifmini.looks_like_gif(payload):
+        w, h, ch, pix = gifmini.decode_gif(payload)
+        return "gif", w, h, ch, pix
+    raise NotImplementedError("no real codec for payload")
+
+
+def media_phash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Media payloads → 64-bit perceptual dHash rows
+    (media_id, phash, format, hash_ok, error_message).
+
+    Narrow ``mapInPandas`` over the binary column — bytes never
+    shuffle; undecodable payloads become error rows (the
+    pipeline-continues contract), never exceptions."""
+    from ..functions import imghash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "phash", "format",
+                                   "hash_ok", "error_message")}
+            for payload in pdf[content_col]:
+                payload = bytes(payload) if payload is not None else b""
+                mid = hashlib.sha256(payload).hexdigest()
+                out["media_id"].append(mid)
+                try:
+                    fmt, w, h, ch, pix = _decode_pixels(payload)
+                    out["phash"].append(imghash.dhash64(pix, w, h, ch))
+                    out["format"].append(fmt)
+                    out["hash_ok"].append(True)
+                    out["error_message"].append(None)
+                except Exception as exc:   # noqa: BLE001 — error-row contract
+                    out["phash"].append(0)
+                    out["format"].append(None)
+                    out["hash_ok"].append(False)
+                    out["error_message"].append(
+                        f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema=("media_id string, phash long, format string, "
+                     "hash_ok boolean, error_message string"))
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate media pairs by dHash Hamming distance.
+
+    The 64-bit hash splits into ``max_hamming + 1`` chunks (8 x 8 bits
+    at the default budget) — any pair within the budget agrees on ≥ 1
+    whole chunk (pigeonhole), so candidates come from an equi-join on
+    (chunk_idx, chunk_value), never a cross join; ``bit_count(xor)``
+    removes false positives.  The ``simhash_pairs`` recursion on the
+    media axis."""
+    from pyspark.sql import functions as F
+
+    chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError(f"max_hamming+1 = {chunks} must divide 64")
+    width = 64 // chunks
+    src = hashes.filter(F.col("hash_ok")).select(
+        F.col("media_id").alias("id"), "phash")
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("phash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1)).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    ex = src.select("id", "phash",
+                    F.posexplode(F.array(*chunk_cols)).alias("ci", "cv"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("media_a"),
+                F.col("b.id").alias("media_b"),
+                F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+                .cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming))

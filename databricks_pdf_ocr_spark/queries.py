@@ -2091,6 +2091,29 @@ def pii_redact(spark, sf_dir):
     return text_analysis.pii_redact(injected)
 
 
+@register("media_phash_neardup", """
+SELECT media_a, media_b, hamming
+FROM read_parquet('/root/repo/tests/data/golden_phash.parquet')
+""")
+def media_phash_neardup(spark, sf_dir):
+    """Perceptual media near-dup end-to-end: deterministic fixture
+    images (PNG / GIF / lossless WebP re-encodes of shared bases) →
+    distributed decode + 64-bit dHash (narrow mapInPandas) →
+    Hamming-banded pair join (the pigeonhole equi-join, never a cross
+    join).  Oracle: the identical payloads through the pure kernels
+    single-process with FULL O(n^2) pairing (no banding), committed as
+    a golden parquet — a banding bug in the distributed path cannot
+    hide (the warc_e2e pattern)."""
+    from . import fixtures
+    from .operators import multimodal
+
+    rows = list(fixtures.image_corpus_rows(42))
+    df = spark.createDataFrame(rows, "name string, content binary") \
+        .repartition(6)
+    hashes = multimodal.media_phash(df)
+    return multimodal.phash_pairs(hashes, max_hamming=7)
+
+
 _URL_SYNTH_SQL = """
   SELECT doc_id, CASE doc_id % 5
     WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)

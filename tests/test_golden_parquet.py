@@ -33,3 +33,17 @@ def test_pdf_images_golden_covers_contract():
 def test_bpe_golden_fresh():
     assert pq.read_table(BPE_GOLDEN_PATH).equals(bpe_golden_table()), \
         "stale golden — python tools/make_golden_parquet.py"
+
+
+def test_phash_golden_fresh():
+    from tools.make_golden_parquet import PHASH_GOLDEN_PATH, phash_golden_table
+    assert pq.read_table(PHASH_GOLDEN_PATH).equals(phash_golden_table()), \
+        "stale golden — python tools/make_golden_parquet.py"
+
+
+def test_phash_golden_covers_planted_structure():
+    """All 10 bases x C(3,2) same-base re-encode pairs, nothing else."""
+    from tools.make_golden_parquet import PHASH_GOLDEN_PATH
+    t = pq.read_table(PHASH_GOLDEN_PATH)
+    assert t.num_rows == 30
+    assert max(t.column("hamming").to_pylist()) <= 7

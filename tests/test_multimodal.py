@@ -121,3 +121,66 @@ def test_decode_media_webp_metadata_row(spark):
     # fixture with a zero-filled body parses as an all-default frame
     # (VP8 streams carry no checksum) and yields its header dimensions
     assert multimodal._decode_image_real(data) == ("webp", 640, 480)
+
+
+# ---------------------------------------------------------------------------
+# perceptual media near-dup (dHash)
+# ---------------------------------------------------------------------------
+
+def test_media_phash_rows_and_error_contract(spark):
+    from databricks_pdf_ocr_spark import fixtures
+
+    rows = list(fixtures.image_corpus_rows(7, n_base=2, variants=3))
+    rows.append(("broken", b"not an image at all"))
+    df = spark.createDataFrame(rows, "name string, content binary")
+    got = {r["media_id"]: r for r in multimodal.media_phash(df).collect()}
+    assert sum(1 for r in got.values() if r["hash_ok"]) == 6
+    bad = [r for r in got.values() if not r["hash_ok"]]
+    assert len(bad) == 1 and bad[0]["error_message"]
+    assert {r["format"] for r in got.values() if r["hash_ok"]} == \
+        {"png", "gif", "webp"}
+
+
+def test_phash_pairs_banding_equals_brute_force(spark):
+    """The pigeonhole equi-join must find exactly the pairs a full
+    pairwise comparison finds."""
+    import itertools
+
+    from databricks_pdf_ocr_spark import fixtures
+    from databricks_pdf_ocr_spark.functions import imghash
+    from databricks_pdf_ocr_spark.operators.multimodal import _decode_pixels
+
+    rows = list(fixtures.image_corpus_rows(11, n_base=4, variants=3))
+    hs = {}
+    import hashlib as _h
+    for _n, p in rows:
+        fmt, w, h, ch, pix = _decode_pixels(p)
+        hs[_h.sha256(p).hexdigest()] = imghash.dhash64(pix, w, h, ch)
+    want = set()
+    for a, b in itertools.combinations(sorted(hs), 2):
+        if imghash.hamming64(hs[a], hs[b]) <= 7:
+            want.add((a, b))
+    df = spark.createDataFrame(rows, "name string, content binary")
+    pairs = multimodal.phash_pairs(multimodal.media_phash(df),
+                                   max_hamming=7)
+    got = {(r["media_a"], r["media_b"]) for r in pairs.collect()}
+    assert got == want and want, "banding must equal brute force"
+
+
+def test_dhash_invariant_to_reencode_not_to_content():
+    from databricks_pdf_ocr_spark.functions import imghash
+
+    w, h = 36, 28
+    grad = bytes(min(255, (x * 7 + y) % 256)
+                 for y in range(h) for x in range(w) for _ in range(3))
+    a = imghash.dhash64(grad, w, h, 3)
+    # tiny perturbation: a few pixels nudged
+    g2 = bytearray(grad)
+    for i in range(0, len(g2), 977):
+        g2[i] = min(255, g2[i] + 2)
+    b = imghash.dhash64(bytes(g2), w, h, 3)
+    assert imghash.hamming64(a, b) <= 4
+    # different content: inverted gradient
+    inv = bytes(255 - v for v in grad)
+    c = imghash.dhash64(inv, w, h, 3)
+    assert imghash.hamming64(a, c) >= 20

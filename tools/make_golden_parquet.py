@@ -263,6 +263,42 @@ def bpe_golden_table() -> pa.Table:
     })
 
 
+PHASH_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_phash.parquet"
+
+#: must mirror queries.media_phash_neardup exactly
+PHASH_SEED, PHASH_MAX_HAMMING = 42, 7
+
+
+def phash_golden_table() -> pa.Table:
+    """Single-process truth for perceptual media near-dup: the identical
+    fixture images decoded with the pure codecs, dHashed, and paired by
+    FULL O(n^2) Hamming comparison (no banding — the golden must catch a
+    banding bug in the distributed pigeonhole path)."""
+    import hashlib
+    import itertools
+
+    from databricks_pdf_ocr_spark.functions import imghash
+    from databricks_pdf_ocr_spark.operators.multimodal import _decode_pixels
+
+    hs = {}
+    for _name, payload in fixtures.image_corpus_rows(PHASH_SEED):
+        mid = hashlib.sha256(payload).hexdigest()
+        fmt, w, h, ch, pix = _decode_pixels(payload)
+        hs[mid] = imghash.dhash64(pix, w, h, ch)
+    rows = []
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = imghash.hamming64(hs[a], hs[b])
+        if d <= PHASH_MAX_HAMMING:
+            rows.append((a, b, d))
+    rows.sort()
+    return pa.table({
+        "media_a": pa.array([r[0] for r in rows], pa.string()),
+        "media_b": pa.array([r[1] for r in rows], pa.string()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
@@ -271,7 +307,8 @@ def main(argv=None) -> int:
                         (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table()),
                         (LINKGRAPH_GOLDEN_PATH,
                          warc_linkgraph_golden_table()),
-                        (BPE_GOLDEN_PATH, bpe_golden_table())):
+                        (BPE_GOLDEN_PATH, bpe_golden_table()),
+                        (PHASH_GOLDEN_PATH, phash_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
