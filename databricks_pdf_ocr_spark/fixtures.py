@@ -338,6 +338,68 @@ def image_corpus_rows(seed: int, n_base: int = 10, variants: int = 3):
             yield f"img-{b}-{v}", payload
 
 
+def audio_corpus_rows(seed: int, n_base: int = 8, variants: int = 3):
+    """Deterministic ``(name, payload)`` WAV corpus for the perceptual
+    audio near-dup path: ``n_base`` spectrally distinct clips, each
+    re-encoded ``variants`` ways (pcm16@8k, pcm24@8k at half gain,
+    float32@16k) — same-base variants are true near-duplicates under
+    ``audiohash.ahash64`` (gain- and rate-invariant gradient grid),
+    different bases are far apart.  Every sample is a pure function of
+    ``(seed, idx)``; generation is TIME-based (``sin(2*pi*f*t)``), so
+    the 8 kHz and 16 kHz variants sample the same continuous signal.
+    """
+    import math
+
+    from .functions import audiohash, wavmini
+
+    n_slices = audiohash.TIME_SLICES
+    slice_sec = 0.2
+    # per-(base, band, slice) amplitude level: geometric ladder, with
+    # consecutive-slice ties bumped so every gradient bit is decisive
+    # (a near-tie would flip under PCM quantization noise)
+    def amp(b, band, t, prev_k):
+        d = hashlib.sha256(f"aud:{seed}:{b}:{band}:{t}".encode()).digest()
+        k = d[0] % 6
+        if k == prev_k:
+            k = (k + 1) % 6
+        return 0.02 * (1.7 ** k), k
+
+    encodings = [("pcm16", 16, 8000, 1.0), ("pcm24", 24, 8000, 0.5),
+                 ("float32", 32, 16000, 0.8)]
+    for b in range(n_base):
+        plan = []                       # per band: list of slice amps
+        for band_i, _f in enumerate(audiohash.BAND_HZ):
+            prev_k, amps = -1, []
+            for t in range(n_slices):
+                a, prev_k = amp(b, band_i, t, prev_k)
+                amps.append(a)
+            plan.append(amps)
+        phases = [hashlib.sha256(f"ph:{seed}:{b}:{i}".encode())
+                  .digest()[0] / 256.0
+                  * 2 * math.pi for i in range(len(audiohash.BAND_HZ))]
+        for v in range(variants):
+            fmt, bits, rate, gain = encodings[v % len(encodings)]
+            n = int(n_slices * slice_sec * rate)
+            vals = []
+            for i in range(n):
+                tau = i / rate
+                sl = min(n_slices - 1, int(tau / slice_sec))
+                x = sum(plan[bi][sl]
+                        * math.sin(2 * math.pi * f * tau + phases[bi])
+                        for bi, f in enumerate(audiohash.BAND_HZ))
+                vals.append(0.3 * gain * x)
+            if fmt == "float32":
+                samples = vals
+                payload = wavmini.encode_wav(samples, 1, rate,
+                                             fmt="float32")
+            else:
+                full = 1 << (bits - 1)
+                samples = [max(-full, min(full - 1, int(x * full)))
+                           for x in vals]
+                payload = wavmini.encode_wav(samples, 1, rate, bits=bits)
+            yield f"aud-{b}-{v}", payload
+
+
 def warc_corpus_records(seed: int, n_segments: int = 6,
                         recs_per_segment: int = 8):
     """Deterministic crawl-segment corpus for the ``warc_e2e`` oracle:

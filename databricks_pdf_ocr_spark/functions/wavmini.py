@@ -106,6 +106,38 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+def encode_wav(samples: list, channels: int, sample_rate: int,
+               bits: int = 16, fmt: str = "pcm") -> bytes:
+    """Interleaved samples → RIFF/WAVE bytes (the mirror of
+    ``decode_wav``; deterministic fixture generator for the audio
+    fingerprint corpus).  Integer PCM takes signed ints at the target
+    depth (8-bit: signed here, stored unsigned-offset per spec);
+    ``fmt='float32'`` takes floats."""
+    if fmt == "float32":
+        tag, bits = _IEEE_FLOAT, 32
+        body = struct.pack(f"<{len(samples)}f", *samples)
+    elif fmt == "pcm" and bits == 8:
+        tag = _PCM
+        body = bytes((s + 128) & 0xFF for s in samples)
+    elif fmt == "pcm" and bits in (16, 32):
+        tag = _PCM
+        body = struct.pack(f"<{len(samples)}{'h' if bits == 16 else 'i'}",
+                           *samples)
+    elif fmt == "pcm" and bits == 24:
+        tag = _PCM
+        body = b"".join((s & 0xFFFFFF).to_bytes(3, "little")
+                        for s in samples)
+    else:
+        raise WavError(f"unsupported encode format {fmt}/{bits}")
+    block = channels * bits // 8
+    fmt_chunk = struct.pack("<HHIIHH", tag, channels, sample_rate,
+                            sample_rate * block, block, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+              + b"data" + struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def audio_features(decoded: dict) -> dict:
     """Deterministic per-clip features over decoded samples: peak and RMS
     in full-scale units (the length/quality heuristics of the audio

@@ -712,6 +712,46 @@ def media_phash(df: DataFrame, content_col: str = "content") -> DataFrame:
                      "hash_ok boolean, error_message string"))
 
 
+def media_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Audio payloads → 64-bit perceptual fingerprint rows
+    (media_id, phash, duration_ms, hash_ok, error_message).
+
+    The audio leg of media near-dup: ``functions/audiohash.ahash64``
+    over the real RIFF/WAVE decode — gain-, bit-depth- and
+    sample-rate-invariant, so re-encoded clips pair within a few
+    Hamming bits.  Narrow ``mapInPandas``; audio bytes never shuffle;
+    undecodable/too-short payloads become error rows.  Emits the hash
+    under the same ``phash`` column name as ``media_phash`` so
+    ``phash_pairs`` composes unchanged."""
+    from ..functions import audiohash, wavmini
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "phash", "duration_ms",
+                                   "hash_ok", "error_message")}
+            for payload in pdf[content_col]:
+                payload = bytes(payload) if payload is not None else b""
+                out["media_id"].append(
+                    hashlib.sha256(payload).hexdigest())
+                try:
+                    d = wavmini.decode_wav(payload)
+                    out["phash"].append(audiohash.ahash64(d))
+                    out["duration_ms"].append(d["duration_ms"])
+                    out["hash_ok"].append(True)
+                    out["error_message"].append(None)
+                except Exception as exc:  # noqa: BLE001 — error-row contract
+                    out["phash"].append(0)
+                    out["duration_ms"].append(0)
+                    out["hash_ok"].append(False)
+                    out["error_message"].append(
+                        f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema=("media_id string, phash long, duration_ms long, "
+                     "hash_ok boolean, error_message string"))
+
+
 def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Near-duplicate media pairs by dHash Hamming distance.
 

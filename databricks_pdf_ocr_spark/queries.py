@@ -2114,6 +2114,29 @@ def media_phash_neardup(spark, sf_dir):
     return multimodal.phash_pairs(hashes, max_hamming=7)
 
 
+@register("audio_ahash_neardup", """
+SELECT media_a, media_b, hamming
+FROM read_parquet('/root/repo/tests/data/golden_ahash.parquet')
+""")
+def audio_ahash_neardup(spark, sf_dir):
+    """Perceptual AUDIO near-dup end-to-end: deterministic fixture WAVs
+    (pcm16@8k / pcm24@8k half-gain / float32@16k re-encodes of shared
+    spectral bases) → distributed decode + 64-bit spectral-gradient
+    fingerprint (narrow mapInPandas, ``functions/audiohash.py``) →
+    the same Hamming-banded pigeonhole pair join as image dHash.
+    Oracle: identical payloads through the pure kernels single-process
+    with FULL O(n^2) pairing, committed as a golden parquet (the
+    media_phash_neardup pattern on the audio axis)."""
+    from . import fixtures
+    from .operators import multimodal
+
+    rows = list(fixtures.audio_corpus_rows(42))
+    df = spark.createDataFrame(rows, "name string, content binary") \
+        .repartition(6)
+    hashes = multimodal.media_ahash(df)
+    return multimodal.phash_pairs(hashes, max_hamming=7)
+
+
 _URL_SYNTH_SQL = """
   SELECT doc_id, CASE doc_id % 5
     WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)

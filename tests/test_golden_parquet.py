@@ -41,6 +41,21 @@ def test_phash_golden_fresh():
         "stale golden — python tools/make_golden_parquet.py"
 
 
+def test_ahash_golden_fresh():
+    from tools.make_golden_parquet import AHASH_GOLDEN_PATH, \
+        ahash_golden_table
+    assert pq.read_table(AHASH_GOLDEN_PATH).equals(ahash_golden_table()), \
+        "stale golden — python tools/make_golden_parquet.py"
+
+
+def test_ahash_golden_covers_planted_structure():
+    """All 8 bases x C(3,2) same-base re-encode pairs, nothing else."""
+    from tools.make_golden_parquet import AHASH_GOLDEN_PATH
+    t = pq.read_table(AHASH_GOLDEN_PATH)
+    assert t.num_rows == 24
+    assert max(t.column("hamming").to_pylist()) <= 7
+
+
 def test_phash_golden_covers_planted_structure():
     """All 10 bases x C(3,2) same-base re-encode pairs, nothing else."""
     from tools.make_golden_parquet import PHASH_GOLDEN_PATH

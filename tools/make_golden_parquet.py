@@ -299,6 +299,41 @@ def phash_golden_table() -> pa.Table:
     })
 
 
+AHASH_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_ahash.parquet"
+
+#: must mirror queries.audio_ahash_neardup exactly
+AHASH_SEED, AHASH_MAX_HAMMING = 42, 7
+
+
+def ahash_golden_table() -> pa.Table:
+    """Single-process truth for perceptual AUDIO near-dup: the identical
+    fixture WAVs decoded with the pure codec, fingerprinted, and paired
+    by FULL O(n^2) Hamming comparison (no banding — the golden must
+    catch a banding bug in the distributed pigeonhole path)."""
+    import hashlib
+    import itertools
+
+    from databricks_pdf_ocr_spark.functions import audiohash, imghash, \
+        wavmini
+
+    hs = {}
+    for _name, payload in fixtures.audio_corpus_rows(AHASH_SEED):
+        mid = hashlib.sha256(payload).hexdigest()
+        hs[mid] = audiohash.ahash64(wavmini.decode_wav(payload))
+    rows = []
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = imghash.hamming64(hs[a], hs[b])
+        if d <= AHASH_MAX_HAMMING:
+            rows.append((a, b, d))
+    rows.sort()
+    return pa.table({
+        "media_a": pa.array([r[0] for r in rows], pa.string()),
+        "media_b": pa.array([r[1] for r in rows], pa.string()),
+        "hamming": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
@@ -308,7 +343,8 @@ def main(argv=None) -> int:
                         (LINKGRAPH_GOLDEN_PATH,
                          warc_linkgraph_golden_table()),
                         (BPE_GOLDEN_PATH, bpe_golden_table()),
-                        (PHASH_GOLDEN_PATH, phash_golden_table())):
+                        (PHASH_GOLDEN_PATH, phash_golden_table()),
+                        (AHASH_GOLDEN_PATH, ahash_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
