@@ -338,6 +338,38 @@ def image_corpus_rows(seed: int, n_base: int = 10, variants: int = 3):
             yield f"img-{b}-{v}", payload
 
 
+def video_corpus_rows(seed: int, n_base: int = 6, variants: int = 3,
+                      n_frames: int = 4):
+    """Deterministic ``(name, payload)`` Motion-JPEG corpus for the
+    perceptual VIDEO near-dup path: ``n_base`` distinct block-pattern
+    animations, each re-encoded ``variants`` ways (JPEG quality 90 /
+    82 / 96 inside an ISO-BMFF MJPEG container) — same-base variants
+    are true near-duplicates frame-for-frame under dHash, different
+    bases are far apart on every frame."""
+    from .functions import jpegenc, mp4mini
+
+    w, h = 36, 28
+    qualities = (90, 82, 96)
+    for b in range(n_base):
+        frames_rgb = []
+        for fi in range(n_frames):
+            rgb = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    d = hashlib.sha256(
+                        f"vid:{seed}:{b}:{fi}:{x * 6 // w}:{y * 4 // h}"
+                        .encode()).digest()
+                    o = (y * w + x) * 3
+                    rgb[o], rgb[o + 1], rgb[o + 2] = d[0], d[1], d[2]
+            frames_rgb.append(bytes(rgb))
+        for v in range(variants):
+            q = qualities[v % len(qualities)]
+            jpegs = [jpegenc.encode_jpeg(f, w, h, quality=q)
+                     for f in frames_rgb]
+            yield f"vid-{b}-{v}", mp4mini.write_mjpeg(
+                jpegs, fps=1, width=w, height=h)
+
+
 def audio_corpus_rows(seed: int, n_base: int = 8, variants: int = 3):
     """Deterministic ``(name, payload)`` WAV corpus for the perceptual
     audio near-dup path: ``n_base`` spectrally distinct clips, each

@@ -752,6 +752,108 @@ def media_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
                      "hash_ok boolean, error_message string"))
 
 
+def video_phash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Motion-JPEG videos → one 64-bit dHash row PER DECODED FRAME
+    (media_id, frame_idx, ts_ms, phash, width, height, hash_ok,
+    error_message).
+
+    The video leg of media near-dup: every MJPEG sample is a standalone
+    JPEG, so each frame rides the same real decode + ``imghash.dhash64``
+    kernel as still images.  Fan-out happens inside the Arrow batch
+    (the ``frame_sample`` shape) — a long video never becomes a driver
+    loop, and video bytes never shuffle.  Non-MJPEG or undecodable
+    payloads become a single error row."""
+    from ..functions import imghash, jpegmini, mp4mini
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms",
+                                   "phash", "width", "height",
+                                   "hash_ok", "error_message")}
+
+            def emit(mid, i, ts, ph, w, h, ok, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(ts)
+                out["phash"].append(ph)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["hash_ok"].append(ok)
+                out["error_message"].append(err)
+
+            for payload in pdf[content_col]:
+                payload = bytes(payload) if payload is not None else b""
+                mid = hashlib.sha256(payload).hexdigest()
+                try:
+                    frames = mp4mini.mjpeg_frames(payload)
+                    if not frames:
+                        raise mp4mini.Mp4Error("no MJPEG samples")
+                except Exception as exc:  # noqa: BLE001 — error-row contract
+                    emit(mid, -1, 0, 0, 0, 0, False,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    continue
+                for i, (ts, jpg) in enumerate(frames):
+                    try:
+                        w, h, ch, pix = jpegmini.decode_jpeg(jpg)
+                        emit(mid, i, ts, imghash.dhash64(pix, w, h, ch),
+                             w, h, True, None)
+                    except Exception as exc:  # noqa: BLE001
+                        emit(mid, i, ts, 0, 0, 0, False,
+                             f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema=("media_id string, frame_idx int, ts_ms long, "
+                     "phash long, width int, height int, hash_ok boolean, "
+                     "error_message string"))
+
+
+def video_phash_pairs(frames: DataFrame, max_hamming: int = 7,
+                      min_frames: int = 2) -> DataFrame:
+    """Near-duplicate video pairs: clips whose dHashes match within
+    ``max_hamming`` bits on at least ``min_frames`` ALIGNED frame
+    indices (the re-encode/transcode semantics — a re-edit is a
+    different video).
+
+    Scale shape: the pigeonhole chunk split applies per frame, so
+    candidates come from an equi-join on (frame_idx, chunk_idx,
+    chunk_value) — never a cross join over clips, never a frame-level
+    cross product — followed by two hash-aggs."""
+    from pyspark.sql import functions as F
+
+    chunks = max_hamming + 1
+    if 64 % chunks:
+        raise ValueError(f"max_hamming+1 = {chunks} must divide 64")
+    width = 64 // chunks
+    src = frames.filter(F.col("hash_ok")).select(
+        F.col("media_id").alias("id"), "frame_idx", "phash")
+    chunk_cols = [
+        F.shiftrightunsigned(F.col("phash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1)).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    ex = src.select("id", "frame_idx", "phash",
+                    F.posexplode(F.array(*chunk_cols)).alias("ci", "cv"))
+    a, b = ex.alias("a"), ex.alias("b")
+    frame_matches = (
+        a.join(b, (F.col("a.frame_idx") == F.col("b.frame_idx"))
+               & (F.col("a.ci") == F.col("b.ci"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("media_a"),
+                F.col("b.id").alias("media_b"),
+                F.col("a.frame_idx").alias("frame_idx"),
+                F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+                .cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct())
+    return (frame_matches
+            .groupBy("media_a", "media_b")
+            .agg(F.count("*").cast("long").alias("frames_matched"),
+                 F.max("hamming").alias("max_hamming"))
+            .filter(F.col("frames_matched") >= min_frames))
+
+
 def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Near-duplicate media pairs by dHash Hamming distance.
 

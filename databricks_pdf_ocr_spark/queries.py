@@ -2137,6 +2137,29 @@ def audio_ahash_neardup(spark, sf_dir):
     return multimodal.phash_pairs(hashes, max_hamming=7)
 
 
+@register("video_phash_neardup", """
+SELECT media_a, media_b, frames_matched, max_hamming
+FROM read_parquet('/root/repo/tests/data/golden_vhash.parquet')
+""")
+def video_phash_neardup(spark, sf_dir):
+    """Perceptual VIDEO near-dup end-to-end: deterministic Motion-JPEG
+    fixtures (jpegenc frames at three JPEG qualities inside mp4mini
+    containers) → distributed per-frame decode + dHash (narrow
+    mapInPandas, frame fan-out inside the Arrow batch) → frame-aligned
+    Hamming-banded pair join requiring >= 2 matched frames.  Oracle:
+    identical payloads through the pure kernels single-process with
+    FULL O(n^2) frame-aligned pairing, committed as a golden parquet."""
+    from . import fixtures
+    from .operators import multimodal
+
+    rows = list(fixtures.video_corpus_rows(42))
+    df = spark.createDataFrame(rows, "name string, content binary") \
+        .repartition(6)
+    frames = multimodal.video_phash(df)
+    return multimodal.video_phash_pairs(frames, max_hamming=7,
+                                        min_frames=2)
+
+
 _URL_SYNTH_SQL = """
   SELECT doc_id, CASE doc_id % 5
     WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)

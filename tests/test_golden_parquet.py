@@ -56,6 +56,23 @@ def test_ahash_golden_covers_planted_structure():
     assert max(t.column("hamming").to_pylist()) <= 7
 
 
+def test_vhash_golden_fresh():
+    from tools.make_golden_parquet import VHASH_GOLDEN_PATH, \
+        vhash_golden_table
+    assert pq.read_table(VHASH_GOLDEN_PATH).equals(vhash_golden_table()), \
+        "stale golden — python tools/make_golden_parquet.py"
+
+
+def test_vhash_golden_covers_planted_structure():
+    """All 6 bases x C(3,2) same-base re-encode pairs, every one
+    matching on all 4 frames, nothing else."""
+    from tools.make_golden_parquet import VHASH_GOLDEN_PATH
+    t = pq.read_table(VHASH_GOLDEN_PATH)
+    assert t.num_rows == 18
+    assert set(t.column("frames_matched").to_pylist()) == {4}
+    assert max(t.column("max_hamming").to_pylist()) <= 7
+
+
 def test_phash_golden_covers_planted_structure():
     """All 10 bases x C(3,2) same-base re-encode pairs, nothing else."""
     from tools.make_golden_parquet import PHASH_GOLDEN_PATH

@@ -334,6 +334,47 @@ def ahash_golden_table() -> pa.Table:
     })
 
 
+VHASH_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_vhash.parquet"
+
+#: must mirror queries.video_phash_neardup exactly
+VHASH_SEED, VHASH_MAX_HAMMING, VHASH_MIN_FRAMES = 42, 7, 2
+
+
+def vhash_golden_table() -> pa.Table:
+    """Single-process truth for perceptual VIDEO near-dup: the identical
+    MJPEG fixtures frame-decoded with the pure codecs, per-frame dHashed,
+    and paired by FULL O(n^2) frame-aligned comparison (no banding)."""
+    import hashlib
+    import itertools
+
+    from databricks_pdf_ocr_spark.functions import imghash, jpegmini, \
+        mp4mini
+
+    fh = {}
+    for _name, payload in fixtures.video_corpus_rows(VHASH_SEED):
+        mid = hashlib.sha256(payload).hexdigest()
+        hs = []
+        for _ts, jpg in mp4mini.mjpeg_frames(payload):
+            w, h, ch, pix = jpegmini.decode_jpeg(jpg)
+            hs.append(imghash.dhash64(pix, w, h, ch))
+        fh[mid] = hs
+    rows = []
+    for a, b in itertools.combinations(sorted(fh), 2):
+        ds = [imghash.hamming64(x, y) for x, y in zip(fh[a], fh[b])
+              ]
+        hit = [d for d in ds if d <= VHASH_MAX_HAMMING]
+        if len(hit) >= VHASH_MIN_FRAMES:
+            rows.append((a, b, len(hit), max(hit)))
+    rows.sort()
+    return pa.table({
+        "media_a": pa.array([r[0] for r in rows], pa.string()),
+        "media_b": pa.array([r[1] for r in rows], pa.string()),
+        "frames_matched": pa.array([r[2] for r in rows], pa.int64()),
+        "max_hamming": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
@@ -344,7 +385,8 @@ def main(argv=None) -> int:
                          warc_linkgraph_golden_table()),
                         (BPE_GOLDEN_PATH, bpe_golden_table()),
                         (PHASH_GOLDEN_PATH, phash_golden_table()),
-                        (AHASH_GOLDEN_PATH, ahash_golden_table())):
+                        (AHASH_GOLDEN_PATH, ahash_golden_table()),
+                        (VHASH_GOLDEN_PATH, vhash_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
