@@ -2160,6 +2160,42 @@ def video_phash_neardup(spark, sf_dir):
                                         min_frames=2)
 
 
+@register("bm25_topk", """
+WITH toks AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+         CAST(any_value(dl) AS DOUBLE) AS dl
+  FROM toks WHERE term IN ('hash', 'join', 'window') GROUP BY 1, 2),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(string_split(lower(text), ' '))) AS avgdl
+          FROM documents),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ) AS score
+  FROM tf JOIN dfs USING (term), stats GROUP BY doc_id)
+SELECT doc_id, n_terms,
+       CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_e4
+FROM scored ORDER BY score_e4 DESC, doc_id LIMIT 20
+""")
+def bm25_topk(spark, sf_dir):
+    """Okapi BM25 keyword retrieval over the documents table (the
+    curation stack's audit/retrieval operator).  Scale shape: postings
+    pruned to the query terms BEFORE the shuffle, document length rides
+    the explode row (one hash-agg, no corpus-wide second join), df and
+    corpus stats broadcast back, top-k via TakeOrdered.  Score
+    floor-scaled to 1e-4 ints for cross-engine double parity."""
+    from .operators import text_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_search.bm25_topk(docs, ["hash", "join", "window"], k=20)
+
+
 _URL_SYNTH_SQL = """
   SELECT doc_id, CASE doc_id % 5
     WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)
