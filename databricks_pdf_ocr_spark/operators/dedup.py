@@ -645,3 +645,76 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                      F.transform(kept_structs, lambda s: s["chunk"]),
                      " ").alias("kept_text"))
             .withColumnRenamed("id", id_col))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (span level)
+# ---------------------------------------------------------------------------
+
+def shared_substring_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", min_tokens: int = 12,
+                           max_gram_docs: int = 200) -> DataFrame:
+    """Span-level exact-substring dedup (the Lee-et-al. training-data
+    operator): every MAXIMAL run of >= ``min_tokens`` consecutive tokens
+    that two documents share verbatim, as
+    ``(id_a, id_b, a_start, b_start, n_tokens)`` with 1-based token
+    positions — the output a pipeline needs to CUT duplicated spans, not
+    just drop whole documents.
+
+    Plan (the suffix-array semantics re-expressed as joins):
+    1. slide a ``min_tokens`` window over each token array (materialized
+       attribute — the HOF per-element re-eval trap) and hash each
+       window with sha2 (engine-portable);
+    2. per-gram doc frequency gates the self-join BOTH ways: ``df >= 2``
+       anti-prunes the (overwhelmingly) unique grams before any pair is
+       formed, and ``df <= max_gram_docs`` caps boilerplate skew — a
+       gram shared by millions of pages would otherwise form a
+       quadratic pair set (at 100 TB this cap is what keeps the op
+       bounded; the dropped grams are exactly the ones a boilerplate
+       filter should handle upstream);
+    3. equi-join window hashes (id_a < id_b), then merge consecutive
+       matching positions per (pair, diagonal) into maximal spans with
+       the islands trick: ``pos - row_number()`` is constant within a
+       run — one window + one hash-agg, no iterative extension.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens_col(text_col).alias("__toks"))
+    win = F.when(
+        F.size("__toks") >= min_tokens,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (min_tokens - 1)),
+            lambda i: F.substring(
+                F.sha2(F.concat_ws(" ", F.slice(F.col("__toks"), i,
+                                                min_tokens)), 256),
+                1, 16)),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("id", F.posexplode(win).alias("pos0", "gh")) \
+        .select("id", (F.col("pos0") + 1).alias("pos"), "gh")
+
+    shareable = (grams.groupBy("gh")
+                 .agg(F.countDistinct("id").alias("gdf"))
+                 .filter((F.col("gdf") >= 2)
+                         & (F.col("gdf") <= max_gram_docs))
+                 .select("gh"))
+    cand = grams.join(shareable, "gh")      # unique grams never pair
+
+    a, b = cand.alias("a"), cand.alias("b")
+    matches = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                      & (F.col("a.id") < F.col("b.id")))
+               .select(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"),
+                       F.col("a.pos").alias("a_pos"),
+                       F.col("b.pos").alias("b_pos")))
+    w = Window.partitionBy("id_a", "id_b",
+                           F.col("a_pos") - F.col("b_pos")) \
+        .orderBy("a_pos")
+    runs = matches.withColumn(
+        "run", F.col("a_pos") - F.row_number().over(w))
+    return (runs.groupBy("id_a", "id_b",
+                         (F.col("a_pos") - F.col("b_pos")).alias("__diag"),
+                         "run")
+            .agg(F.min("a_pos").cast("long").alias("a_start"),
+                 F.min("b_pos").cast("long").alias("b_start"),
+                 (F.count("*") + (min_tokens - 1)).cast("long")
+                 .alias("n_tokens"))
+            .drop("__diag", "run"))

@@ -2196,6 +2196,56 @@ def bm25_topk(spark, sf_dir):
     return text_search.bm25_topk(docs, ["hash", "join", "window"], k=20)
 
 
+_SUBSTR_BP = ("subscribe to our newsletter for daily updates about engine "
+              "internals and careful query plan tuning")   # 16 tokens
+
+
+@register("dedup_substring_spans", f"""
+WITH src AS (
+  SELECT doc_id, CASE WHEN doc_id % 83 IN (0, 1)
+         THEN text || ' {_SUBSTR_BP}' ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS t FROM src),
+gp AS (
+  SELECT id, g['pos'] AS pos, g['gh'] AS gh FROM (
+    SELECT id,
+           unnest(list_transform(range(1, greatest(len(t) - 11, 0) + 1),
+             i -> {{'pos': i,
+                   'gh': substr(sha256(array_to_string(t[i:i+11], ' ')),
+                                1, 16)}})) AS g
+    FROM toks)),
+shareable AS (SELECT gh FROM gp GROUP BY gh
+              HAVING count(DISTINCT id) BETWEEN 2 AND 200),
+cand AS (SELECT gp.* FROM gp JOIN shareable USING (gh)),
+m AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS a_pos, b.pos AS b_pos
+      FROM cand a JOIN cand b ON a.gh = b.gh AND a.id < b.id),
+runs AS (SELECT *, a_pos - row_number() OVER (
+           PARTITION BY id_a, id_b, a_pos - b_pos ORDER BY a_pos) AS run
+         FROM m)
+SELECT id_a, id_b, CAST(min(a_pos) AS BIGINT) AS a_start,
+       CAST(min(b_pos) AS BIGINT) AS b_start,
+       CAST(count(*) + 11 AS BIGINT) AS n_tokens
+FROM runs GROUP BY id_a, id_b, a_pos - b_pos, run
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al.): maximal >=12-token
+    verbatim runs shared between documents, over the corpus with a
+    deterministic 16-token boilerplate injected into the doc_id%83 in
+    (0,1) cohort (the pii_redact injection pattern — the synthetic
+    corpus shares no natural 12-grams).  Oracle mirrors the full
+    recursion: windowed sha256 grams -> df-gated self-join -> islands
+    merge per (pair, diagonal)."""
+    from .operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 83 < 2,
+               F.concat_ws(" ", F.col("text"), F.lit(_SUBSTR_BP)))
+        .otherwise(F.col("text")).alias("text"))
+    return dd.shared_substring_spans(docs, min_tokens=12,
+                                     max_gram_docs=200)
+
+
 _URL_SYNTH_SQL = """
   SELECT doc_id, CASE doc_id % 5
     WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)
