@@ -165,3 +165,72 @@ def frontier_schedule(df: DataFrame, host_col: str = "host",
     w = Window.partitionBy(host_col).orderBy(*order_cols)
     rank = F.row_number().over(w) - 1
     return df.withColumn("wave", F.floor(rank / per_wave).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness gate (RFC 9309)
+# ---------------------------------------------------------------------------
+
+def robots_rules(robots: DataFrame, agent: str, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """Per-host robots.txt bodies → the structured rule table for one
+    crawler agent: ``(host, allow, pattern, regex, spec_len)``.
+
+    Parsing is real (``functions/robotsmini.py``) and runs where the
+    robots corpus lives — a narrow ``mapInPandas`` over the host table
+    (one row per DOMAIN, corpus-scale but tiny rows; never broadcast,
+    never collected).  Hosts whose file yields no rules for the agent
+    emit nothing — the gate's left join treats them as allow-all."""
+    import pandas as pd
+
+    from ..functions import robotsmini
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("host", "allow", "pattern", "regex",
+                                   "spec_len")}
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                rules = robotsmini.rules_for_agent(
+                    robotsmini.parse_robots(text or ""), agent)
+                for allow, pattern in rules:
+                    out["host"].append(host)
+                    out["allow"].append(allow)
+                    out["pattern"].append(pattern)
+                    out["regex"].append(robotsmini.pattern_to_regex(pattern))
+                    out["spec_len"].append(len(pattern))
+            yield pd.DataFrame(out)
+
+    return robots.mapInPandas(
+        run, schema=("host string, allow boolean, pattern string, "
+                     "regex string, spec_len int"))
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame,
+                key_col: str = "doc_id", host_col: str = "host",
+                path_col: str = "path") -> DataFrame:
+    """Longest-match robots verdict per URL:
+    ``urls + (allowed, matched_pattern)``.
+
+    The RFC 9309 precedence recursion as a plan: host equi-join (rules
+    per host are few; skewed mega-hosts are AQE's job), `rlike` match,
+    then ONE row_number window picking (spec_len DESC, allow DESC,
+    pattern DESC) — ties break toward allow, deterministically.  URLs
+    with no matching rule or no robots file coalesce to allowed (RFC
+    default)."""
+    from pyspark.sql import Window
+
+    matched = (urls.select(key_col, host_col, path_col)
+               .join(rules, host_col)
+               .filter(F.regexp_like(F.col(path_col), F.col("regex")))
+               .withColumn("__rn", F.row_number().over(
+                   Window.partitionBy(key_col)
+                   .orderBy(F.col("spec_len").desc(),
+                            F.col("allow").desc(),
+                            F.col("pattern").desc())))
+               .filter(F.col("__rn") == 1)
+               .select(key_col, F.col("allow").alias("__allow"),
+                       F.col("pattern").alias("matched_pattern")))
+    return (urls.join(matched, key_col, "left")
+            .withColumn("allowed", F.coalesce(F.col("__allow"),
+                                              F.lit(True)))
+            .drop("__allow"))

@@ -2246,6 +2246,87 @@ def dedup_substring_spans(spark, sf_dir):
                                      max_gram_docs=200)
 
 
+#: per-host robots.txt variants (host hN uses variant N % 4) — exercise
+#: longest-match precedence, $-anchored wildcards, agent-specific group
+#: override, and the empty/allow-all default
+ROBOTS_TEXTS = [
+    ("User-agent: *\n"
+     "Disallow: /private/\n"
+     "Allow: /private/public/\n"),
+    ("# block data dumps\n"
+     "User-agent: *\n"
+     "Disallow: /*.json$\n"),
+    ("User-agent: *\n"
+     "Disallow: /\n"
+     "\n"
+     "User-agent: curatorbot\n"
+     "Allow: /docs/\n"
+     "Disallow: /\n"),
+    ("Sitemap: https://example.com/sitemap.xml\n"),
+]
+
+#: hand-derived truth for ROBOTS_TEXTS under agent 'curatorbot' — kept
+#: INDEPENDENT of functions/robotsmini.py so the oracle cannot inherit a
+#: parser bug; pytest asserts the real parser produces exactly this
+ROBOTS_RULES_SQL = """(VALUES
+  ('0', FALSE, '/private/', '^/private/', 9),
+  ('0', TRUE,  '/private/public/', '^/private/public/', 16),
+  ('1', FALSE, '/*.json$', '^/.*\\.json$', 8),
+  ('2', TRUE,  '/docs/', '^/docs/', 6),
+  ('2', FALSE, '/', '^/', 1))"""
+
+
+@register("robots_gate", f"""
+WITH urls AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+         CASE doc_id % 5 WHEN 0 THEN '/private/x'
+              WHEN 1 THEN '/private/public/y'
+              WHEN 2 THEN '/api/data.json'
+              WHEN 3 THEN '/docs/page' ELSE '/' END AS path
+  FROM documents),
+rules AS (
+  SELECT 'h' || CAST(i AS VARCHAR) AS host, allow, pattern, regex, spec_len
+  FROM range(8) t(i)
+  JOIN (SELECT * FROM {ROBOTS_RULES_SQL}
+        v(variant, allow, pattern, regex, spec_len)) v
+    ON CAST(i % 4 AS VARCHAR) = v.variant),
+m AS (
+  SELECT u.doc_id, r.allow, r.pattern,
+         row_number() OVER (PARTITION BY u.doc_id
+             ORDER BY r.spec_len DESC, r.allow DESC, r.pattern DESC) AS rn
+  FROM urls u JOIN rules r USING (host)
+  WHERE regexp_matches(u.path, r.regex))
+SELECT u.doc_id, u.host, u.path,
+       coalesce(m.allow, TRUE) AS allowed, m.pattern AS matched_pattern
+FROM urls u LEFT JOIN (SELECT doc_id, allow, pattern FROM m WHERE rn = 1) m
+  USING (doc_id)
+""")
+def robots_gate(spark, sf_dir):
+    """robots.txt politeness gate (RFC 9309): per-host robots bodies
+    parsed by the REAL parser (`functions/robotsmini.py`, distributed
+    mapInPandas), then the longest-match precedence recursion as a host
+    equi-join + regexp match + one row_number window; unmatched URLs
+    default to allowed.  The oracle's rule table is HAND-derived from
+    the same robots texts (never the parser's output), so parse and
+    evaluation are both gated."""
+    from .operators import linkgraph
+
+    robots = spark.createDataFrame(
+        [(f"h{i}", ROBOTS_TEXTS[i % 4]) for i in range(8)],
+        "host string, robots_txt string")
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+        .alias("host"),
+        F.element_at(
+            F.array(F.lit("/private/x"), F.lit("/private/public/y"),
+                    F.lit("/api/data.json"), F.lit("/docs/page"),
+                    F.lit("/")),
+            (F.col("doc_id") % 5 + 1).cast("int")).alias("path"))
+    rules = linkgraph.robots_rules(robots, agent="curatorbot")
+    return linkgraph.robots_gate(urls, rules)
+
+
 _URL_SYNTH_SQL = """
   SELECT doc_id, CASE doc_id % 5
     WHEN 0 THEN 'HTTP://Ads.Tracker' || CAST(doc_id % 7 AS VARCHAR)
