@@ -23,7 +23,8 @@ from databricks_pdf_ocr_spark.session import get_spark
 SF = "/root/testdata/sf0.01"
 HAND_MARKER = "<!-- HAND-CURATED BELOW: preserved by dump_plans.py -->"
 SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
-        "dedup_minhash_lsh", "embed_cosine_topk", "asof_join_events_orders"]
+        "dedup_minhash_lsh", "embed_cosine_topk", "asof_join_events_orders",
+        "bm25_topk", "dedup_substring_spans", "robots_gate"]
 
 
 def plan_of(df) -> str:
