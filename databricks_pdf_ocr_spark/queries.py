@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
-from .operators import dedup, similarity, text_analysis
+from .operators import classifier, dedup, similarity, text_analysis
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -2046,6 +2046,20 @@ def mixture_rebalance(spark, sf_dir):
     deterministic sha2 hash gate."""
     return text_analysis.mixture_rebalance(_t(spark, sf_dir, "documents"),
                                            strata_col="lang")
+
+
+@register("quality_classifier", classifier.logreg_oracle_sql())
+def quality_classifier(spark, sf_dir):
+    """Trained quality gate: fastText-shape hashed-presence-bag logistic
+    regression fit with 32 full-batch GD epochs ON the cluster — features
+    stay distributed; each epoch collects only the 65-float gradient
+    (intercept folded in as a constant feature).  The oracle replays the
+    exact training trajectory as generated chained CTEs; per-epoch 1e-6
+    floor-quantization of the weights makes the trajectory
+    engine-portable.  Recovers the weak keyword rule to accuracy 1.0 at
+    every test scale."""
+    return classifier.quality_classifier(
+        spark, _t(spark, sf_dir, "documents"))
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
