@@ -394,6 +394,56 @@ def mixture_rebalance(df: DataFrame, strata_col: str = "lang",
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+def dsir_logweights(df: DataFrame, target_expr, id_col: str = "doc_id",
+                    text_col: str = "text", dim: int = 256) -> DataFrame:
+    """Per-document DSIR log importance weight: how much more likely the
+    document is under the TARGET corpus' hashed-unigram distribution
+    than under the raw corpus' (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — the published
+    hashed-n-gram recipe for choosing pretraining data that looks like a
+    curated target).  ``target_expr`` is the boolean membership column
+    defining the target slice (a curated-source flag in production; any
+    deterministic rule here).
+
+    Scale shape: both feature distributions come from ONE hash-agg over
+    the token stream (map-side combinable down to ``dim`` rows — one row
+    carries target and raw counts together), broadcast back onto the
+    stream with the two totals riding a broadcast 1-row cross join (the
+    `unigram_lm_scores` idiom); the per-doc sum is the only corpus-sized
+    exchange.  Add-one smoothing keeps every log finite; round(3)
+    absorbs double summation order.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        target_expr.cast("int").alias("tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).select(
+        "id", "tgt",
+        (F.conv(F.substring(F.sha2(F.col("w"), 256), 1, 8), 16, 10)
+         .cast("long") % dim).cast("int").alias("fidx"))
+    dist = hashed.groupBy("fidx").agg(
+        F.count("*").cast("long").alias("cnt_all"),
+        F.sum("tgt").cast("long").alias("cnt_tgt"))
+    tot = dist.agg(F.sum("cnt_all").cast("long").alias("tot_all"),
+                   F.sum("cnt_tgt").cast("long").alias("tot_tgt"))
+    logr = (F.log((F.col("cnt_tgt") + F.lit(1.0))
+                  / (F.col("tot_tgt") + F.lit(float(dim))))
+            - F.log((F.col("cnt_all") + F.lit(1.0))
+                    / (F.col("tot_all") + F.lit(float(dim)))))
+    return (hashed.join(F.broadcast(dist), "fidx")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 # + 0.0 folds IEEE -0.0 to +0.0 (engines disagree on the
+                 # sign of a rounded -1e-4 sum; bytewise hash parity needs one)
+                 (F.round(F.sum(logr), 3) + F.lit(0.0)).alias("logw"))
+            .withColumnRenamed("id", id_col))
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

@@ -2022,6 +2022,42 @@ def lm_quality(spark, sf_dir):
     return text_analysis.unigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("dsir_logweights", """
+WITH hashed AS (
+  SELECT doc_id AS id,
+         CASE WHEN list_contains(string_split(text, ' '), 'spark')
+              THEN 1 ELSE 0 END AS tgt,
+         CAST(CAST(('0x' || substr(sha256(w), 1, 8)) AS BIGINT) % 256
+              AS INT) AS fidx
+  FROM (SELECT doc_id, text,
+               unnest(string_split(text, ' ')) AS w FROM documents)
+), dist AS (
+  SELECT fidx,
+         CAST(count(*) AS BIGINT) AS cnt_all,
+         CAST(sum(tgt) AS BIGINT) AS cnt_tgt
+  FROM hashed GROUP BY fidx
+), tot AS (
+  SELECT CAST(sum(cnt_all) AS BIGINT) AS tot_all,
+         CAST(sum(cnt_tgt) AS BIGINT) AS tot_tgt
+  FROM dist
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln((cnt_tgt + 1.0) / (tot_tgt + 256.0))
+                 - ln((cnt_all + 1.0) / (tot_all + 256.0))), 3) + 0.0 AS logw
+FROM hashed JOIN dist USING (fidx) CROSS JOIN tot
+GROUP BY id
+""")
+def dsir_logweights(spark, sf_dir):
+    """DSIR data selection: per-doc log importance weight of the target
+    hashed-unigram distribution vs the raw corpus distribution (Xie et
+    al. 2023).  Both distributions from ONE hash-agg, broadcast back;
+    round(3) absorbs summation order."""
+    return text_analysis.dsir_logweights(
+        _t(spark, sf_dir, "documents"),
+        F.array_contains(F.split(F.col("text"), " "), "spark"))
+
+
 @register("mixture_rebalance", """
 WITH counts AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang

@@ -157,3 +157,48 @@ def test_pii_redact_planted_cases(spark):
     r4 = rows[4]
     assert (r4["n_email"], r4["n_ip"], r4["n_phone"]) == (0, 0, 0)
     assert r4["redacted"] == "no pii here 999.999 @ not-an-email"
+
+
+# round-5 addition: DSIR importance weights
+
+def _fidx(tok, dim=256):
+    return int(hashlib.sha256(tok.encode()).hexdigest()[:8], 16) % dim
+
+
+def test_dsir_logweights_hand_computed(spark):
+    import math
+    docs = [(1, "aim aim"), (2, "usual usual"), (3, "aim usual")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rule = F.array_contains(F.split("text", " "), "aim")
+    got = {r["doc_id"]: r for r in T.dsir_logweights(df, rule).collect()}
+    # replicate: hashed-unigram dist over all tokens vs target (docs 1,3)
+    dim = 256
+    dist_all, dist_tgt = {}, {}
+    for did, text in docs:
+        tgt = "aim" in text.split(" ")
+        for tok in text.split(" "):
+            f = _fidx(tok)
+            dist_all[f] = dist_all.get(f, 0) + 1
+            if tgt:
+                dist_tgt[f] = dist_tgt.get(f, 0) + 1
+    tot_all = sum(dist_all.values())
+    tot_tgt = sum(dist_tgt.values())
+    for did, text in docs:
+        toks = text.split(" ")
+        exp = round(sum(
+            math.log((dist_tgt.get(_fidx(t), 0) + 1.0) / (tot_tgt + dim))
+            - math.log((dist_all[_fidx(t)] + 1.0) / (tot_all + dim))
+            for t in toks), 3) + 0.0
+        assert got[did]["n_tokens"] == len(toks)
+        assert got[did]["logw"] == exp
+    # target-vocab doc must outweigh raw-vocab doc
+    assert got[1]["logw"] > got[2]["logw"]
+
+
+def test_dsir_plan_broadcasts_distribution(spark):
+    df = spark.createDataFrame(
+        [(i, "x y z") for i in range(20)], "doc_id long, text string")
+    out = T.dsir_logweights(df, F.lit(True))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
