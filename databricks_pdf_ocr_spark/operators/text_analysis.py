@@ -394,6 +394,57 @@ def mixture_rebalance(df: DataFrame, strata_col: str = "lang",
 
 
 # ---------------------------------------------------------------------------
+# bigram-LM quality scoring (the interpolated-KenLM stand-in)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram log-probability under a corpus-fit
+    Jelinek-Mercer LM: ``p(w2|w1) = 0.9·c(w1,w2)/c(w1·) + 0.1·c(w2)/N``
+    — one order up from :func:`unigram_lm_scores`, the direction real
+    perplexity gates (CCNet's KenLM) take.
+
+    The bigram stream is built with ZERO joins: the token array is
+    materialized once, two aligned slices are zipped and exploded (the
+    HOF per-element re-eval trap does not bite — slices reference the
+    projected attribute).  Three count tables follow: bigrams (vocab²-
+    bounded — plain equi-join, AQE broadcasts it when small and shuffles
+    it at open-web scale), contexts and unigrams (vocab-bounded —
+    broadcast).  Docs with fewer than two tokens have no bigrams and are
+    absent from the output, matching the oracle.  round(3)+0.0 absorbs
+    summation order / the −0.0 sign split.
+    """
+    toked = df.select(F.col(id_col).alias("id"),
+                      F.split(F.col(text_col), " ").alias("toks"))
+    n = F.size("toks")
+    sliced = toked.select(
+        "id",
+        F.slice("toks", 1, n - 1).alias("w1s"),
+        F.slice("toks", 2, n - 1).alias("w2s"))
+    big = (sliced.select("id", F.explode(F.arrays_zip("w1s", "w2s"))
+                         .alias("bg"))
+           .select("id", F.col("bg.w1s").alias("w1"),
+                   F.col("bg.w2s").alias("w2")))
+    bg_lm = big.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    uni = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w2"))
+           .groupBy("w2").agg(F.count("*").cast("long").alias("c2")))
+    tot = uni.agg(F.sum("c2").cast("long").alias("tot"))
+    p = (F.lit(0.9) * (F.col("c12") * F.lit(1.0) / F.col("c1"))
+         + F.lit(0.1) * (F.col("c2") * F.lit(1.0) / F.col("tot")))
+    return (big.join(bg_lm, ["w1", "w2"])
+            .join(F.broadcast(ctx), "w1")
+            .join(F.broadcast(uni), "w2")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 (F.round(F.avg(F.log(p)), 3) + F.lit(0.0))
+                 .alias("avg_logp"))
+            .withColumnRenamed("id", id_col))
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (data selection via importance resampling)
 # ---------------------------------------------------------------------------
 

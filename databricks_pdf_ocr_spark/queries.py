@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
-from .operators import classifier, dedup, similarity, text_analysis
+from .operators import classifier, dedup, layout, similarity, text_analysis
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -2020,6 +2020,56 @@ def lm_quality(spark, sf_dir):
     the corpus-fit LM (CCNet/Gopher filter shape); round(3) absorbs
     double summation order."""
     return text_analysis.unigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("zorder_layout", layout.zorder_oracle_sql())
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout summary over orders (x=o_custkey, y=days
+    since 1992-01-01): per-file min/max bounds under space-filling-curve
+    clustering — the OPTIMIZE ZORDER primitive.  Key is a pure
+    projection (bit-interleave SQL generated once, rendered for both
+    engines); the window pins exact file boundaries for the oracle."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long").alias("y"))
+    return layout.zorder_layout_summary(orders, "id", "x", "y",
+                                        rows_per_file=500)
+
+
+@register("lm_bigram_quality", """
+WITH toked AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents
+), big AS (
+  SELECT id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)])   AS w2
+  FROM toked
+), bg_lm AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY 1
+), uni AS (
+  SELECT w AS w2, CAST(count(*) AS BIGINT) AS c2
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c2) AS BIGINT) AS tot FROM uni
+)
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(0.9 * (c12 * 1.0 / c1) + 0.1 * (c2 * 1.0 / tot))), 3)
+         + 0.0 AS avg_logp
+FROM big JOIN bg_lm USING (w1, w2) JOIN ctx USING (w1)
+         JOIN uni USING (w2) CROSS JOIN tot
+GROUP BY id
+""")
+def lm_bigram_quality(spark, sf_dir):
+    """Interpolated bigram-LM perplexity gate (Jelinek-Mercer 0.9/0.1)
+    — the KenLM-direction upgrade of lm_quality; zero-join bigram
+    stream via aligned array slices."""
+    return text_analysis.bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
 @register("dsir_logweights", """

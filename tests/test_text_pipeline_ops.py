@@ -202,3 +202,20 @@ def test_dsir_plan_broadcasts_distribution(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# round-5 addition: interpolated bigram LM
+
+def test_bigram_lm_hand_computed(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "x")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.bigram_lm_scores(df).collect()}
+    # corpus bigrams: (a,b)x2 (b,a)x2 ; contexts: a->2, b->2 ; uni a3 b3 x1 tot7
+    def p(c12, c1, c2, tot=7):
+        return 0.9 * (c12 * 1.0 / c1) + 0.1 * (c2 * 1.0 / tot)
+    exp1 = round((2 * math.log(p(2, 2, 3)) + math.log(p(2, 2, 3))) / 3, 3)
+    exp2 = round(math.log(p(2, 2, 3)), 3)
+    assert got[1]["n_bigrams"] == 3 and got[1]["avg_logp"] == exp1
+    assert got[2]["n_bigrams"] == 1 and got[2]["avg_logp"] == exp2
+    assert 3 not in got  # single-token doc has no bigrams
