@@ -43,3 +43,35 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, left_time: str,
     carried = unioned.withColumn("__asof", F.last("__v", ignorenulls=True).over(w))
     return (carried.filter(F.col("__tag") == 1)
             .select(F.col("__left.*"), F.col("__asof").alias(out_col)))
+
+
+def band_join(left: DataFrame, right: DataFrame, left_time: str,
+              right_time: str, band_us: int,
+              left_cols: list[str], right_cols: list[str]) -> DataFrame:
+    """Time-band join WITHOUT an equi key: every (left, right) pair with
+    ``0 < right_time - left_time <= band_us`` (microseconds since a
+    common epoch, both sides BIGINT).
+
+    Spark has no native band/range join — a naive theta-join is a
+    broadcast nested loop (quadratic, a scale-killer).  The standard
+    composition: bucket both sides into ``band_us``-wide bins, probe
+    each left row against ITS OWN bin and the next one (a (0, band]
+    window spans at most two bins), equi-join on the bin, then apply the
+    exact band filter.  One shuffle on the bin key, candidate fan-out
+    bounded by 2·(events per bin) — linear in event rate, never in
+    corpus size.  Per-bin population = band·arrival-rate: a hot bin is
+    a data property (burst), handled by AQE skew splitting, not a plan
+    property.
+    """
+    lb = left.select(*left_cols, F.col(left_time).alias("__lt"),
+                     F.explode(F.array(
+                         F.floor(F.col(left_time) / F.lit(band_us)),
+                         F.floor(F.col(left_time) / F.lit(band_us)) + 1))
+                     .alias("__bin"))
+    rb = right.select(*right_cols, F.col(right_time).alias("__rt"),
+                      F.floor(F.col(right_time) / F.lit(band_us))
+                      .alias("__bin"))
+    dt = F.col("__rt") - F.col("__lt")
+    return (lb.join(rb, "__bin")
+            .filter((dt > 0) & (dt <= F.lit(band_us)))
+            .select(*left_cols, *right_cols, dt.alias("dt_us")))

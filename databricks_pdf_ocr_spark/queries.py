@@ -400,6 +400,31 @@ def asof_join_events_orders(spark, sf_dir):
             .select("event_id", "last_orderkey"))
 
 
+@register("band_join_error_clicks", """
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       date_diff('microsecond', a.ts, b.ts) AS dt_us
+FROM events a JOIN events b
+  ON a.event_type = 'error' AND b.event_type = 'click'
+ AND date_diff('microsecond', a.ts, b.ts) > 0
+ AND date_diff('microsecond', a.ts, b.ts) <= 600000000
+""")
+def band_join_error_clicks(spark, sf_dir):
+    """Keyless time-band join: every click within 10 minutes AFTER an
+    error.  Spark has no band/range join — composed as a two-bin probe
+    equi-join on band-width buckets (operators/asof.band_join, linear in
+    event rate); the oracle is DuckDB's native theta join."""
+    from .operators.asof import band_join
+    t_us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01', ts)")
+    ev = _t(spark, sf_dir, "events").withColumn("t_us", t_us)
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("a_id"), "t_us"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("b_id"), "t_us"))
+    return band_join(errors, clicks, "t_us", "t_us",
+                     band_us=600_000_000,
+                     left_cols=["a_id"], right_cols=["b_id"])
+
+
 @register("revenue_percentiles", """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -219,3 +219,34 @@ def test_bigram_lm_hand_computed(spark):
     assert got[1]["n_bigrams"] == 3 and got[1]["avg_logp"] == exp1
     assert got[2]["n_bigrams"] == 1 and got[2]["avg_logp"] == exp2
     assert 3 not in got  # single-token doc has no bigrams
+
+
+# round-5 addition: keyless time-band join
+
+def test_band_join_boundaries_and_no_dups(spark):
+    from databricks_pdf_ocr_spark.operators.asof import band_join
+    left = spark.createDataFrame([(1, 100)], "a_id long, t long")
+    right = spark.createDataFrame(
+        [(10, 100),   # dt=0   -> excluded (strict lower bound)
+         (11, 101),   # dt=1   -> included
+         (12, 150),   # dt=50  -> included, crosses bin boundary (band=50)
+         (13, 151),   # dt=51  -> excluded
+         (14, 99)],   # dt=-1  -> excluded
+        "b_id long, t long")
+    got = sorted((r["a_id"], r["b_id"], r["dt_us"]) for r in band_join(
+        left, right, "t", "t", band_us=50,
+        left_cols=["a_id"], right_cols=["b_id"]).collect())
+    assert got == [(1, 11, 1), (1, 12, 50)]
+
+
+def test_band_join_plan_is_equi_not_nested_loop(spark):
+    from databricks_pdf_ocr_spark.operators.asof import band_join
+    left = spark.createDataFrame([(i, i * 7) for i in range(50)],
+                                 "a_id long, t long")
+    right = spark.createDataFrame([(i, i * 11) for i in range(50)],
+                                  "b_id long, t long")
+    out = band_join(left, right, "t", "t", 100,
+                    left_cols=["a_id"], right_cols=["b_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
