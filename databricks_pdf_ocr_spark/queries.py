@@ -425,6 +425,46 @@ def band_join_error_clicks(spark, sf_dir):
                      left_cols=["a_id"], right_cols=["b_id"])
 
 
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate_us")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+def _profile_oracle_sql() -> str:
+    rows = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        num = c in _PROFILE_NUM
+        rows.append(f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {f'CAST(min({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'}
+         AS min_num,
+       {f'CAST(max({c}) AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'}
+         AS max_num,
+       {f'min({c})' if not num else 'CAST(NULL AS VARCHAR)'} AS min_str,
+       {f'max({c})' if not num else 'CAST(NULL AS VARCHAR)'} AS max_str
+FROM t""")
+    return ("WITH t AS (SELECT *, date_diff('microsecond', "
+            "TIMESTAMP '1992-01-01', o_orderdate) AS o_orderdate_us "
+            "FROM orders)" + " UNION ALL ".join(rows))
+
+
+@register("profile_orders", _profile_oracle_sql())
+def profile_orders(spark, sf_dir):
+    """One-pass table profiler over orders: per-column null count, exact
+    distinct cardinality, typed min/max — the admission sweep for a new
+    data drop.  Single agg (one Expand for the exact distincts; HLL
+    sketches via approx=True are the open-web-scale path)."""
+    from .operators.profile import profile_table
+    t = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_us",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1992-01-01', "
+               "o_orderdate)"))
+    cols = ([(c, "num") for c in _PROFILE_NUM]
+            + [(c, "str") for c in _PROFILE_STR])
+    return profile_table(spark, t, cols)
+
+
 @register("revenue_percentiles", """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

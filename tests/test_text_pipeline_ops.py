@@ -250,3 +250,33 @@ def test_band_join_plan_is_equi_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# round-5 addition: one-pass table profiler
+
+def test_profile_table_planted(spark):
+    from databricks_pdf_ocr_spark.operators.profile import profile_table
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, 5.0, None), (3, 7.5, "b")],
+        "k long, v double, s string")
+    rows = {r["col_name"]: r for r in profile_table(
+        spark, df, [("k", "num"), ("v", "num"), ("s", "str")]).collect()}
+    k, v, s = rows["k"], rows["v"], rows["s"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_num"], k["max_num"]) == (1.0, 3.0)
+    assert (v["n_null"], v["n_distinct"], v["min_num"], v["max_num"]) == \
+        (1, 2, 5.0, 7.5)
+    assert (s["n_null"], s["n_distinct"], s["min_str"], s["max_str"]) == \
+        (1, 2, "a", "b")
+    assert s["min_num"] is None and k["min_str"] is None
+
+
+def test_profile_table_approx_path(spark):
+    from databricks_pdf_ocr_spark.operators.profile import profile_table
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(1000)],
+                               "k long, s string")
+    rows = {r["col_name"]: r for r in profile_table(
+        spark, df, [("k", "num"), ("s", "str")], approx=True).collect()}
+    # HLL++ default rsd 5%: sanity bounds, not exactness
+    assert abs(rows["k"]["n_distinct"] - 1000) <= 100
+    assert rows["s"]["n_distinct"] == 7
