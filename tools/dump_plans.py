@@ -24,7 +24,9 @@ SF = "/root/testdata/sf0.01"
 HAND_MARKER = "<!-- HAND-CURATED BELOW: preserved by dump_plans.py -->"
 SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
         "dedup_minhash_lsh", "embed_cosine_topk", "asof_join_events_orders",
-        "bm25_topk", "dedup_substring_spans", "robots_gate"]
+        "bm25_topk", "dedup_substring_spans", "robots_gate",
+        "band_join_error_clicks", "dsir_logweights", "zorder_layout",
+        "quality_classifier"]
 
 
 def plan_of(df) -> str:
