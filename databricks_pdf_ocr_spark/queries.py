@@ -637,6 +637,49 @@ def dedup_minhash_verified(spark, sf_dir):
                                    n=3, k=8, bands=4, verify_threshold=0.3)
 
 
+@register("split_leakage", f"""
+WITH vp AS (SELECT * FROM ({_verified_pairs_sql()}) t),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents)
+)
+SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b
+FROM vp JOIN splits sa ON sa.doc_id = doc_a
+        JOIN splits sb ON sb.doc_id = doc_b
+WHERE sa.split <> sb.split
+""")
+def split_leakage(spark, sf_dir):
+    """Pretraining-hygiene gate: deterministic 90/5/5 train/val/test hash
+    split, then every VERIFIED near-dup pair that crosses a split
+    boundary — the leakage an eval set inherits when dedup runs before
+    splitting.  The split gate is the idempotent sha2 bucket (same
+    recipe as the samplers: rerun- and cluster-size-stable); pairs are
+    the drop-safe verified MinHash rung; split labels ride a broadcast
+    join onto the pair list (pair-bounded, not corpus-bounded)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substr(sha2(cast(doc_id as string), 256), 1, 8), 16, 10) "
+        "as bigint) % 100")
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").alias("split"))
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, k=8, bands=4,
+                                    verify_threshold=0.3)
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "split_a", "split_b"))
+
+
 @register("dedup_minhash_incremental", f"""
 SELECT doc_a, doc_b FROM ({_minhash_sql()}) t
 WHERE doc_a >= 350 OR doc_b >= 350

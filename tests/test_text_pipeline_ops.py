@@ -280,3 +280,33 @@ def test_profile_table_approx_path(spark):
     # HLL++ default rsd 5%: sanity bounds, not exactness
     assert abs(rows["k"]["n_distinct"] - 1000) <= 100
     assert rows["s"]["n_distinct"] == 7
+
+
+# round-5 addition: cross-split leakage gate
+
+def test_split_leakage_flags_only_cross_split_pairs(spark):
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    # replicate the sha2 split gate to pick ids deterministically
+    def bucket(i):
+        return int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16) % 100
+    train = [i for i in range(200) if bucket(i) < 90]
+    test = [i for i in range(200) if bucket(i) >= 95]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = ([(train[0], base), (test[0], base)]          # cross-split dup
+            + [(train[1], base + " mu"), (train[2], base + " mu")]  # same-split dup
+            + [(train[3], "totally different words here nothing shared at all")])
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(os.path.join(d, "documents.parquet"))
+        got = sorted((r["doc_a"], r["doc_b"], r["split_a"], r["split_b"])
+                     for r in QUERIES["split_leakage"]["fn"](spark, d)
+                     .collect())
+    # base, base+mu x2 are MUTUAL near-dups (Jaccard 8/9): every
+    # train-side copy pairs with the test-side copy; same-split pairs
+    # (train[0..2] among themselves) are filtered out.
+    exp = sorted((min(t, test[0]), max(t, test[0]),
+                  "train" if t < test[0] else "test",
+                  "test" if t < test[0] else "train")
+                 for t in (train[0], train[1], train[2]))
+    assert got == exp
