@@ -394,6 +394,41 @@ def mixture_rebalance(df: DataFrame, strata_col: str = "lang",
 
 
 # ---------------------------------------------------------------------------
+# text normalization (corpus canonical form before dedup/tokenization)
+# ---------------------------------------------------------------------------
+
+#: keep lowercase latin (incl. the 00C0-024F accented block), digits,
+#: spaces; \x{...} escapes are the Java-regex ∩ RE2 ∩ DuckDB spelling
+#: (\uXXXX is Java-only).
+NORMALIZE_STRIP = "[^a-z0-9\\x{00c0}-\\x{024f} ]"
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text form ahead of dedup/tokenization: lowercase,
+    punctuation stripped to spaces, whitespace runs collapsed, ends
+    trimmed — so near-dup and fingerprint stages see one spelling of
+    the same content.  Every step is an engine-portable regex (no
+    backrefs/lookaround; Java ∩ RE2 ∩ DuckDB semantics), zero shuffle,
+    zero Python.  Unicode NFC/NFKC canonicalization is deliberately NOT
+    here: Spark has no built-in normalizer and a per-row Python UDF in
+    the hottest full-corpus stage is the wrong trade — a production
+    deployment does NFC in the extraction kernel's Arrow batches
+    (functions/extract_span.py) where Python already owns the bytes.
+
+    Emits (id, text_norm, n_chars_norm, changed).
+    """
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), NORMALIZE_STRIP, " "),
+        " +", " ")
+    norm = F.regexp_replace(norm, "^ | $", "")
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col(text_col)).cast("long").alias("changed"))
+
+
+# ---------------------------------------------------------------------------
 # bigram-LM quality scoring (the interpolated-KenLM stand-in)
 # ---------------------------------------------------------------------------
 

@@ -2146,6 +2146,28 @@ def zorder_layout(spark, sf_dir):
                                         rows_per_file=500)
 
 
+@register("text_normalize", f"""
+WITH n AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '{text_analysis.NORMALIZE_STRIP}', ' ', 'g'),
+           ' +', ' ', 'g'), '^ | $', '', 'g') AS text_norm,
+         text
+  FROM documents
+)
+SELECT doc_id, text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       CAST(CASE WHEN text_norm <> text THEN 1 ELSE 0 END AS BIGINT)
+         AS changed
+FROM n
+""")
+def text_normalize(spark, sf_dir):
+    """Canonical text form before dedup/tokenization: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace, trim — portable
+    regexes (Java ∩ RE2 ∩ DuckDB), zero shuffle, zero Python."""
+    return text_analysis.normalize_text(_t(spark, sf_dir, "documents"))
+
+
 @register("lm_bigram_quality", """
 WITH toked AS (
   SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents

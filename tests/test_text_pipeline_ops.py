@@ -310,3 +310,17 @@ def test_split_leakage_flags_only_cross_split_pairs(spark):
                   "test" if t < test[0] else "train")
                  for t in (train[0], train[1], train[2]))
     assert got == exp
+
+
+# round-5 addition: text normalization
+
+def test_normalize_text_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (café #1) "), (2, "already clean")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.normalize_text(df).collect()}
+    assert got[1]["text_norm"] == "hello world café 1"
+    assert got[1]["changed"] == 1
+    assert got[1]["n_chars_norm"] == len("hello world café 1")
+    assert got[2]["text_norm"] == "already clean"
+    assert got[2]["changed"] == 0
