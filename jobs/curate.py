@@ -87,6 +87,37 @@ def run_curate(spark, args) -> dict:
     enriched = text_analysis.with_features(docs)
 
     gated = enriched.filter(F.col("quality_score_e6") >= args.min_quality)
+    extra_stats: dict = {}
+
+    # -- optional learned quality gate: distill the heuristic rule into the
+    # hashed feature space (train on high-heuristic-quality docs as weak
+    # positives, the CCNet/GPT-3 curated-vs-crawl pattern) and drop docs
+    # the MODEL scores low — smoother than the rule it was trained on.
+    # Training collects only the 65-float gradient per epoch.
+    if args.learned_gate_min > 0:
+        from databricks_pdf_ocr_spark.operators import classifier
+        scored = classifier.quality_classifier(
+            spark, gated,
+            label_expr=(F.col("quality_score_e6")
+                        >= F.lit(args.learned_gate_label_quality)))
+        gated = (gated.join(scored.select("doc_id", "score_e4"), "doc_id")
+                 .filter(F.col("score_e4") >= args.learned_gate_min)
+                 .drop("score_e4"))
+        extra_stats["learned_gate_min"] = args.learned_gate_min
+
+    # -- optional DSIR selection: keep the docs whose hashed-unigram
+    # distribution most resembles the weak-positive target slice.  The
+    # cutoff is one approxQuantile scalar (control-plane), then a filter.
+    if args.dsir_keep_pct > 0:
+        dsir = text_analysis.dsir_logweights(
+            gated, F.col("quality_score_e6")
+            >= F.lit(args.learned_gate_label_quality))
+        w = gated.join(dsir.select("doc_id", "logw"), "doc_id")
+        cutoff = w.approxQuantile(
+            "logw", [1.0 - args.dsir_keep_pct / 100.0], 0.001)[0]
+        gated = w.filter(F.col("logw") >= cutoff).drop("logw")
+        extra_stats["dsir_cutoff"] = round(cutoff, 3)
+        extra_stats["dsir_keep_pct"] = args.dsir_keep_pct
 
     # -- exact dedup: canonical copy per content hash ------------------------
     canon = dedup.exact_duplicates(gated).select("canonical_id")
@@ -132,6 +163,7 @@ def run_curate(spark, args) -> dict:
     stats = {"out": args.out, **{k: obs.get[k]
                                  for k in ("docs", "ws_tokens", "bpe_tokens")},
              "components_rounds": cc_stats.get("rounds"),
+             **extra_stats,
              "elapsed_sec": round(time.time() - t0, 2)}
 
     # -- optional: training-sequence packing plan (concat-and-chop) over
@@ -178,6 +210,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "<out>_packplan partitioned by shard")
     ap.add_argument("--pack-shards", type=int, default=32,
                     help="number of independent packing shards")
+    ap.add_argument("--learned-gate-min", type=int, default=0,
+                    help="drop docs the trained quality classifier scores "
+                         "below this (score_e4 units; 0 = stage off)")
+    ap.add_argument("--learned-gate-label-quality", type=int,
+                    default=500000,
+                    help="weak-positive label: heuristic quality_score_e6 "
+                         "at or above this trains as class 1")
+    ap.add_argument("--dsir-keep-pct", type=float, default=0.0,
+                    help="keep this percent of docs by DSIR importance "
+                         "weight toward the weak-positive slice (0 = off)")
     return ap
 
 

@@ -124,3 +124,34 @@ def test_curate_pack_plan(spark, curated_env):
             assert r["start_in_seq"] == pos % 512
             pos += r["n_tokens"]
             assert r["last_seq"] == (pos - 1) // 512
+
+
+def test_curate_learned_gate_and_dsir_stages(spark, curated_env):
+    rows, tables, out = curated_env
+    base = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_b2"]))
+
+    # learned gate: classifier distills the heuristic weak label; docs
+    # the model scores below 0.5 are dropped
+    lg = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_lg",
+         "--learned-gate-min", "5000",
+         "--learned-gate-label-quality", "500000"]))
+    assert 0 < lg["docs"] <= base["docs"]
+    assert lg["learned_gate_min"] == 5000
+
+    # DSIR: keep the 60% most target-alike docs
+    ds = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_ds",
+         "--dsir-keep-pct", "60"]))
+    assert 0 < ds["docs"] <= base["docs"]
+    assert "dsir_cutoff" in ds
+    # deterministic rerun: identical survivors
+    ds2 = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_ds2",
+         "--dsir-keep-pct", "60"]))
+    a = sorted(r["doc_id"] for r in
+               spark.read.parquet(out + "_ds").select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               spark.read.parquet(out + "_ds2").select("doc_id").collect())
+    assert a == b and ds2["docs"] == ds["docs"]
