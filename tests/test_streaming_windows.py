@@ -55,3 +55,32 @@ def test_session_window_counts(spark, tmp_path):
     got = {(r["session_window"].start.minute, r["source"]): r["n"]
            for r in spark.sql("SELECT * FROM sess_out").collect()}
     assert got == {(0, "u1"): 2, (20, "u1"): 1, (1, "u2"): 1}
+
+
+def test_stream_band_join(spark, tmp_path):
+    from databricks_pdf_ocr_spark.streaming.joins import stream_band_join
+    errors = [
+        (datetime(2026, 1, 1, 0, 0, 0), 1),
+        (datetime(2026, 1, 1, 1, 0, 0), 2),
+    ]
+    clicks = [
+        (datetime(2026, 1, 1, 0, 4, 0), 10),   # 4m after err 1 -> pair
+        (datetime(2026, 1, 1, 0, 20, 0), 11),  # 20m after err 1 -> out of band
+        (datetime(2026, 1, 1, 1, 0, 0), 12),   # dt=0 vs err 2 -> excluded
+        (datetime(2026, 1, 1, 1, 10, 0), 13),  # exactly 10m after err 2 -> pair
+    ]
+    esrc, csrc = str(tmp_path / "err"), str(tmp_path / "clk")
+    spark.createDataFrame(errors, "ts timestamp, eid long").write.parquet(esrc)
+    spark.createDataFrame(clicks, "ts timestamp, cid long").write.parquet(csrc)
+    es = spark.readStream.schema("ts timestamp, eid long").parquet(esrc)
+    cs = spark.readStream.schema("ts timestamp, cid long").parquet(csrc)
+    joined = stream_band_join(es, cs, band_us=600_000_000,
+                              watermark="30 minutes")
+    q = (joined.writeStream.format("memory").queryName("band_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["l_eid"], r["r_cid"]) for r in
+                 spark.sql("SELECT * FROM band_out").collect())
+    assert got == [(1, 10), (2, 13)]
