@@ -465,6 +465,80 @@ def profile_orders(spark, sf_dir):
     return profile_table(spark, t, cols)
 
 
+@register("fk_integrity", """
+SELECT 'lineitem->orders' AS relationship,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+""")
+def fk_integrity(spark, sf_dir):
+    """Referential-integrity sweep (profiler sibling): orphan counts per
+    FK relationship via left_anti against the parent key set — each
+    check is one anti-join (broadcast when the parent is small, shuffle
+    at scale) + a count; no data leaves the cluster."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    def check(name, child, parent_keys, key):
+        orphans = child.join(parent_keys, key, "left_anti")
+        return (child.agg(F.count("*").cast("long").alias("n_child"))
+                .crossJoin(orphans.agg(F.count("*").cast("long")
+                                       .alias("n_orphans")))
+                .select(F.lit(name).alias("relationship"),
+                        "n_child", "n_orphans"))
+    r1 = check("lineitem->orders", li.withColumnRenamed(
+        "l_orderkey", "k"), o.select(F.col("o_orderkey").alias("k")), "k")
+    r2 = check("orders->customer", o.withColumnRenamed(
+        "o_custkey", "k"), c.select(F.col("c_custkey").alias("k")), "k")
+    return r1.unionByName(r2)
+
+
+@register("rollup_two_phase", """
+WITH h1 AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(o_totalprice) AS s
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+), h2 AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(o_totalprice) AS s
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+), merged AS (
+  SELECT * FROM h1 UNION ALL SELECT * FROM h2
+)
+SELECT o_orderstatus,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       round(sum(s), 2) AS revenue
+FROM merged GROUP BY o_orderstatus
+""")
+def rollup_two_phase(spark, sf_dir):
+    """Mergeable partial aggregation: per-partition rollups combined by
+    a second-stage merge (the incremental-view-maintenance contract —
+    refreshing an aggregate from new partitions' partials instead of
+    rescanning history).  count/sum merge exactly; round(2) absorbs
+    the double summation-order split."""
+    o = _t(spark, sf_dir, "orders")
+    def half(pred):
+        return (o.filter(pred).groupBy("o_orderstatus")
+                .agg(F.count("*").cast("long").alias("n"),
+                     F.sum("o_totalprice").alias("s")))
+    merged = half(F.col("o_orderkey") % 2 == 0).unionByName(
+        half(F.col("o_orderkey") % 2 == 1))
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.sum("n").cast("long").alias("n_orders"),
+                 F.round(F.sum("s"), 2).alias("revenue")))
+
+
 @register("revenue_percentiles", """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

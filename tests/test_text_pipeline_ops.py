@@ -324,3 +324,26 @@ def test_normalize_text_planted(spark):
     assert got[1]["n_chars_norm"] == len("hello world café 1")
     assert got[2]["text_norm"] == "already clean"
     assert got[2]["changed"] == 0
+
+
+# round-5 addition: FK integrity + two-phase rollup
+
+def test_fk_integrity_detects_planted_orphans(spark, tmp_path):
+    import os
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    d = str(tmp_path)
+    spark.createDataFrame([(1, 100.0, "O"), (2, 50.0, "F")],
+                          "o_orderkey long, o_totalprice double, "
+                          "o_orderstatus string") \
+        .withColumn("o_custkey", F.col("o_orderkey") * 10) \
+        .write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame([(1,), (1,), (3,)], "l_orderkey long") \
+        .write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame([(10,)], "c_custkey long") \
+        .write.parquet(os.path.join(d, "customer.parquet"))
+    got = {r["relationship"]: r for r in
+           QUERIES["fk_integrity"]["fn"](spark, d).collect()}
+    assert (got["lineitem->orders"]["n_child"],
+            got["lineitem->orders"]["n_orphans"]) == (3, 1)
+    assert (got["orders->customer"]["n_child"],
+            got["orders->customer"]["n_orphans"]) == (2, 1)
