@@ -2220,6 +2220,36 @@ def zorder_layout(spark, sf_dir):
                                         rows_per_file=500)
 
 
+@register("chunk_overlap", """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) / 24 AS BIGINT) AS chunk_idx,
+       array_to_string(t[i:i+31], ' ') AS chunk_text,
+       CAST(least(32, len(t) - i + 1) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS i FROM toked)
+""")
+def chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (RAG/context prep): 32-token
+    chunks at stride 24 (8-token overlap) — one narrow projection, the
+    start sequence and slices are higher-order functions over the
+    materialized token array (the per-element re-eval trap does not
+    bite: `t` is a projected attribute)."""
+    toked = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t"))
+    n = F.size("t")
+    starts = F.sequence(F.lit(1), n, F.lit(24))
+    return (toked.select("doc_id", "t",
+                         F.explode(starts).alias("i"))
+            .select("doc_id",
+                    ((F.col("i") - 1) / 24).cast("long").alias("chunk_idx"),
+                    F.array_join(F.slice("t", F.col("i"), 32), " ")
+                    .alias("chunk_text"),
+                    F.least(F.lit(32), n - F.col("i") + 1).cast("long")
+                    .alias("n_tokens")))
+
+
 @register("text_normalize", f"""
 WITH n AS (
   SELECT doc_id,

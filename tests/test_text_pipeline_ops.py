@@ -347,3 +347,20 @@ def test_fk_integrity_detects_planted_orphans(spark, tmp_path):
             got["lineitem->orders"]["n_orphans"]) == (3, 1)
     assert (got["orders->customer"]["n_child"],
             got["orders->customer"]["n_orphans"]) == (2, 1)
+
+
+# round-5 addition: sliding-window chunking
+
+def test_chunk_overlap_planted(spark, tmp_path):
+    import os
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    d = str(tmp_path)
+    text = " ".join(f"w{i}" for i in range(40))   # 40 tokens
+    spark.createDataFrame([(1, text), (2, "a b")],
+                          "doc_id long, text string") \
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    got = sorted((r["doc_id"], r["chunk_idx"], r["n_tokens"],
+                  r["chunk_text"].split(" ")[0])
+                 for r in QUERIES["chunk_overlap"]["fn"](spark, d).collect())
+    # doc 1: starts 1, 25 -> chunks of 32 and 16 tokens; 8-token overlap
+    assert got == [(1, 0, 32, "w0"), (1, 1, 16, "w24"), (2, 0, 2, "a")]
