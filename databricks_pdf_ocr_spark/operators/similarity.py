@@ -747,3 +747,35 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("int").alias("rank"), "cosine"))
+
+
+def hard_negative_topk(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 5, pos_threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       qid_col: str = "query_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    MOST similar vectors strictly below the positive band
+    (``cosine < pos_threshold``) — similar enough to be informative,
+    dissimilar enough to be true negatives.
+
+    Same scale shape as :func:`brute_force_topk` (broadcast query side,
+    corpus scanned once, per-query window); the threshold compares the
+    ROUNDED cosine so any engine draws the band at the same boundary.
+    Production swaps the scan for IVF/LSH probes (the indexed ANN
+    operators) with the same band filter.
+    """
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                   F.col(vec_col).alias("qvec")))
+    pairs = (embeddings.select(F.col(id_col).alias("neg_id"),
+                               F.col(vec_col).alias("nvec"))
+             .crossJoin(q)
+             .filter(F.col("neg_id") != F.col("query_id"))
+             .select("query_id", "neg_id",
+                     F.round(cosine_sim(F.col("qvec"), F.col("nvec")), 6)
+                     .alias("cosine"))
+             .filter(F.col("cosine") < F.lit(pos_threshold)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                              F.asc("neg_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neg_id", "rank", "cosine"))

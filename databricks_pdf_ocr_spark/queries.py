@@ -930,6 +930,33 @@ def embed_cosine_topk(spark, sf_dir):
         .withColumn("rank", F.col("rank").cast("int"))
 
 
+@register("hard_negatives", f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neg_id,
+         round({_COS}, 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND b.vec_id != a.vec_id
+), banded AS (
+  SELECT * FROM scored WHERE cosine < 0.95
+), ranked AS (
+  SELECT query_id, neg_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neg_id) AS rank
+  FROM banded)
+SELECT query_id, neg_id, CAST(rank AS INT) AS rank, cosine
+FROM ranked WHERE rank <= 5
+""")
+def hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per query the k most similar
+    vectors strictly below the positive band (cosine < 0.95 on the
+    ROUNDED value — both engines draw the band identically); broadcast
+    query side, corpus scanned once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return (similarity.hard_negative_topk(emb, q, k=5, pos_threshold=0.95)
+            .withColumn("rank", F.col("rank").cast("int")))
+
+
 @register("embed_cosine_neardup", f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

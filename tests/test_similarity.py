@@ -261,3 +261,20 @@ def test_adc_equals_reconstructed_distance(emb, spark):
             lut = ((cb - qa[:, None, :]) ** 2).sum(axis=2)
             got = float(lut[np.arange(4), np.asarray(cs)].sum())
             assert abs(want - got) < 1e-9
+
+
+def test_hard_negatives_band_and_rank(spark):
+    from databricks_pdf_ocr_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+    # query [1,0]; candidates at cosines 1.0 (positive band), ~0.94, 0.0
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [10.0, 0.0]), (2, [1.0, 0.36]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = [(r["neg_id"], r["rank"]) for r in
+           S.hard_negative_topk(emb, q, k=5, pos_threshold=0.95)
+           .orderBy("rank").collect()]
+    # vec 1 (cos 1.0) excluded as in-band positive; 2 then 3 by cosine
+    assert got == [(2, 1), (3, 2)]
