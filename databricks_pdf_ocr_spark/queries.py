@@ -465,6 +465,45 @@ def profile_orders(spark, sf_dir):
     return profile_table(spark, t, cols)
 
 
+@register("value_outliers", """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CAST(floor(abs(e.value - m.med) * 1000.0 / (1.4826 * m.mad))
+            AS BIGINT) AS rz_e3
+FROM events e JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND CAST(floor(abs(e.value - m.med) * 1000.0 / (1.4826 * m.mad))
+           AS BIGINT) >= 3000
+""")
+def value_outliers(spark, sf_dir):
+    """Robust per-stratum outlier flagging (unit-bug sweep): median/MAD
+    z-score > 3 per event_type.  Median and MAD are selection+single-
+    interpolation statistics — no summation-order drift, so the exact
+    `percentile` / `quantile_cont` pair matches bit-for-bit; the score
+    is floor-scaled e3 (the house composite recipe).  Two tiny per-type
+    aggs broadcast back onto the stream; one corpus-sized scan."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (ev.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+                F.first("med").alias("med")))
+    rz = F.floor(F.abs(F.col("value") - F.col("med")) * F.lit(1000.0)
+                 / (F.lit(1.4826) * F.col("mad"))).cast("long")
+    return (ev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("mad") > 0)
+            .select("event_id", "event_type", "value", rz.alias("rz_e3"))
+            .filter(F.col("rz_e3") >= 3000))
+
+
 @register("fk_integrity", """
 SELECT 'lineitem->orders' AS relationship,
        CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,

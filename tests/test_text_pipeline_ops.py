@@ -364,3 +364,22 @@ def test_chunk_overlap_planted(spark, tmp_path):
                  for r in QUERIES["chunk_overlap"]["fn"](spark, d).collect())
     # doc 1: starts 1, 25 -> chunks of 32 and 16 tokens; 8-token overlap
     assert got == [(1, 0, 32, "w0"), (1, 1, 16, "w24"), (2, 0, 2, "a")]
+
+
+# round-5 addition: robust outlier flagging
+
+def test_value_outliers_planted(spark, tmp_path):
+    import os
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    d = str(tmp_path)
+    # type A: tight cluster around 10 plus one wild point
+    rows = [(i, "A", 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows.append((99, "A", 1000.0))
+    # type B: constant values -> mad == 0 -> type excluded entirely
+    rows += [(200 + i, "B", 7.0) for i in range(5)]
+    spark.createDataFrame(rows, "event_id long, event_type string, "
+                                "value double") \
+        .write.parquet(os.path.join(d, "events.parquet"))
+    got = QUERIES["value_outliers"]["fn"](spark, d).collect()
+    assert [(r["event_id"], r["event_type"]) for r in got] == [(99, "A")]
+    assert got[0]["rz_e3"] >= 3000
