@@ -465,6 +465,71 @@ def profile_orders(spark, sf_dir):
     return profile_table(spark, t, cols)
 
 
+@register("q5_local_supplier_volume", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-table star join with a region filter —
+    Catalyst reorders the join chain and broadcasts every dimension
+    (region/nation/supplier/customer) under the fact tables; the only
+    big shuffle is lineitem⋈orders.  round(2) absorbs the double
+    summation-order split."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, li.l_orderkey == o.o_orderkey)
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .filter(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@register("rollup_grouping_sets", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_grouping_sets(spark, sf_dir):
+    """ROLLUP hierarchy over (status, priority) incl. subtotals and the
+    grand total, disambiguated by GROUPING() flags (a real NULL group
+    would otherwise collide with a subtotal row) — one Expand + one
+    hash-agg, both engines share the semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg((F.grouping("o_orderstatus") * 2
+                  + F.grouping("o_orderpriority")).cast("long").alias("gid"),
+                 F.count("*").cast("long").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce(F.col("o_orderstatus"), F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce(F.col("o_orderpriority"), F.lit("ALL"))
+                    .alias("priority"),
+                    "gid", "n_orders", "revenue"))
+
+
 @register("value_outliers", """
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
