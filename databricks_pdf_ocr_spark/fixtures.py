@@ -536,3 +536,41 @@ def warc_corpus_segments(seed: int, n_segments: int = 6,
     return [write_warc(recs, gzip_per_record=True)
             for recs in warc_corpus_records(seed, n_segments,
                                             recs_per_segment)]
+
+
+def jsonl_corpus_lines(seed: int = 42, n: int = 120) -> list[str]:
+    """Deterministic JSONL crawl-dump lines: mostly valid documents with
+    planted dirt — truncated JSON, missing url, missing text, empty
+    lines, JSON arrays — plus duplicate-URL re-crawls (latest line must
+    win).  Pure function of (seed, n): the no-Spark golden replays it.
+    """
+    import json as _json
+
+    rng = random.Random(f"jsonl:{seed}")
+    words = ("crawl", "corpus", "spark", "engine", "table", "stream",
+             "shard", "token", "vector", "filter")
+    lines: list[str] = []
+    for i in range(n):
+        url = f"http://site{i % 17}.example/p/{i}"
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(5, 30)))
+        kind = i % 12
+        if kind == 7:
+            lines.append('{"url": "' + url + '", "text": "trunc')  # cut off
+        elif kind == 8:
+            lines.append(_json.dumps({"text": text, "lang": "en"}))  # no url
+        elif kind == 9:
+            lines.append(_json.dumps({"url": url, "lang": "de"}))    # no text
+        elif kind == 10:
+            lines.append("")                                         # blank
+        elif kind == 11:
+            lines.append(_json.dumps([url, text]))                   # array
+        else:
+            lines.append(_json.dumps(
+                {"url": url, "text": text,
+                 "lang": rng.choice(("en", "de", "fr"))}))
+    # duplicate-URL re-crawls: last occurrence must win
+    for j in range(6):
+        url = f"http://site{j}.example/p/{j}"
+        lines.append(_json.dumps(
+            {"url": url, "text": f"recrawled version {j}", "lang": "en"}))
+    return lines

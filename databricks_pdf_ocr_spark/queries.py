@@ -1935,6 +1935,27 @@ def extract_e2e(spark, sf_dir):
                     F.col("s.media_ref").alias("media_ref")))
 
 
+@register("jsonl_e2e", """
+SELECT doc_id, url, lang, text, line_no
+FROM read_parquet('/root/repo/tests/data/golden_jsonl_e2e.parquet')
+""")
+def jsonl_e2e(spark, sf_dir):
+    """JSONL crawl-dump mouth end-to-end: deterministic lines (planted
+    truncated JSON / missing fields / blank lines / arrays / duplicate-
+    URL re-crawls) → ``jsonl.lines_to_documents`` (from_json, error
+    rows absent, latest line wins per URL).  Oracle: the same lines
+    through pure ``json.loads`` with NO Spark
+    (tools/make_golden_parquet.py::jsonl_golden_table)."""
+    from . import fixtures
+    from .sources import jsonl as jsonl_src
+
+    lines = fixtures.jsonl_corpus_lines(seed=42, n=120)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)],
+        "line_no long, value string").repartition(4)
+    return jsonl_src.lines_to_documents(df)
+
+
 @register("warc_e2e", """
 SELECT doc_id, out_offset, kind, text, media_ref
 FROM read_parquet('/root/repo/tests/data/golden_warc_e2e.parquet')

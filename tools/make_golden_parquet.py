@@ -375,6 +375,45 @@ def vhash_golden_table() -> pa.Table:
     })
 
 
+#: must mirror queries.jsonl_e2e exactly
+JSONL_SEED, JSONL_N = 42, 120
+
+JSONL_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_jsonl_e2e.parquet"
+
+
+def jsonl_golden_table() -> pa.Table:
+    """No-Spark truth for the JSONL mouth: json.loads per line; dict
+    lines with a string url AND string text become documents
+    (sha256(url) identity); later lines win per document — mirroring
+    ``jsonl.lines_to_documents``."""
+    import hashlib
+    import json
+
+    docs: dict[str, tuple] = {}
+    for i, line in enumerate(fixtures.jsonl_corpus_lines(JSONL_SEED,
+                                                         JSONL_N)):
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        url, text, lang = obj.get("url"), obj.get("text"), obj.get("lang")
+        if not isinstance(url, str) or not isinstance(text, str):
+            continue
+        did = hashlib.sha256(url.encode()).hexdigest()
+        docs[did] = (url, lang if isinstance(lang, str) else None, text, i)
+    items = sorted(docs.items())
+    return pa.table({
+        "doc_id": pa.array([k for k, _ in items], pa.string()),
+        "url": pa.array([v[0] for _, v in items], pa.string()),
+        "lang": pa.array([v[1] for _, v in items], pa.string()),
+        "text": pa.array([v[2] for _, v in items], pa.string()),
+        "line_no": pa.array([v[3] for _, v in items], pa.int64()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
@@ -386,7 +425,8 @@ def main(argv=None) -> int:
                         (BPE_GOLDEN_PATH, bpe_golden_table()),
                         (PHASH_GOLDEN_PATH, phash_golden_table()),
                         (AHASH_GOLDEN_PATH, ahash_golden_table()),
-                        (VHASH_GOLDEN_PATH, vhash_golden_table())):
+                        (VHASH_GOLDEN_PATH, vhash_golden_table()),
+                        (JSONL_GOLDEN_PATH, jsonl_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
