@@ -52,3 +52,19 @@ def streaming_first_occurrence(stream: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def dedup_within_watermark(stream: DataFrame, key_cols: list[str],
+                           time_col: str = "ts",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Built-in alternative to :func:`streaming_first_occurrence` when
+    duplicates arrive within a bounded window: Spark's
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    EVICTS the key's state once the watermark passes — bounded state
+    (keys/window × rate), versus the custom stateful op whose "seen"
+    set lives forever (exact cross-stream dedup, unbounded keys).
+    Pick by contract: bounded-window re-deliveries (retries, at-least-
+    once sources) → this; true corpus-lifetime identity → the
+    applyInPandasWithState op backed by a persisted key table."""
+    return (stream.withWatermark(time_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

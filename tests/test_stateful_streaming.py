@@ -38,3 +38,28 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert all(len(v) == 1 for v in by_hash.values()), by_hash
     # first occurrence won for the duplicated hash
     assert by_hash["B"] == ["doc2"]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from datetime import datetime
+    from databricks_pdf_ocr_spark.streaming.stateful_dedup import (
+        dedup_within_watermark)
+    rows = [
+        (datetime(2026, 1, 1, 0, 0, 0), "a", 1),
+        (datetime(2026, 1, 1, 0, 1, 0), "a", 2),   # dup within window
+        (datetime(2026, 1, 1, 0, 2, 0), "b", 3),
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, "ts timestamp, k string, v long") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, k string, v long") \
+        .parquet(src)
+    out = dedup_within_watermark(stream, ["k"], "ts", "10 minutes")
+    q = (out.writeStream.format("memory").queryName("ddww_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["k"], r["v"]) for r in
+                 spark.sql("SELECT * FROM ddww_out").collect())
+    assert [k for k, _ in got] == ["a", "b"]   # one row per key
