@@ -38,6 +38,7 @@ HEADLINE = [
     "sessionize", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "embed_cosine_topk", "ann_lsh_topk", "lang_id", "text_quality",
     "token_count", "doc_fingerprint", "span_reassembly",
+    "lm_bigram_quality", "chunk_overlap", "band_join_error_clicks",
 ]
 
 
