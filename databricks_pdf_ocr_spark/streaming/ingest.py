@@ -148,3 +148,38 @@ def documents_stream(spark: SparkSession, input_dir: str,
     the extraction stages run under Structured Streaming (micro-batch per
     file group) when the input arrives incrementally."""
     return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def start_jsonl_ingestion_stream(spark: SparkSession, landing_dir: str,
+                                 target_dir: str, checkpoint_dir: str,
+                                 glob: str = "*.jsonl*",
+                                 max_files_per_trigger: int | None = 8):
+    """Streaming twin of ``jsonl.read_jsonl_dir``: new .jsonl(.gz) dumps
+    landing in a directory drain exactly-once into a raw-line table
+    (value, file).  Parsing + error routing + latest-URL-wins stay
+    BATCH steps downstream (``jsonl.lines_to_documents`` /
+    ``error_lines``) — the dedup needs a per-URL window append-mode
+    streaming cannot express, and line POSITIONS are also assigned in
+    that batch step (``monotonically_increasing_id`` is rejected under
+    streaming; the landed parquet preserves per-file write order, so
+    batch assignment is equivalent).  Landing raw exactly-once and
+    curating in batch is the same crawl-lake split as the WARC mouth.
+
+    Returns the StreamingQuery; callers ``awaitTermination()``.
+    """
+    from pyspark.sql import functions as F
+
+    reader = (spark.readStream.format("text")
+              .option("pathGlobFilter", glob))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = (reader.load(landing_dir)
+             .select(F.col("value"),
+                     F.input_file_name().alias("file")))
+    return (lines.writeStream
+            .format("parquet")
+            .outputMode("append")
+            .option("path", target_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
