@@ -45,6 +45,98 @@ def cap_to_buckets(pending: DataFrame, max_docs: int) -> DataFrame:
     return pending.join(F.broadcast(keep), "bucket", "left_semi")
 
 
+# ---------------------------------------------------------------------------
+# Bloom-gated anti join — the 10^12-row shape of `unprocessed`.
+#
+# At extreme scale the plain left_anti shuffles the ENTIRE source on the
+# key just to discover that most rows were never processed.  A Bloom
+# filter over the done-key set is fixed-size (m bits regardless of key
+# count, vs a broadcast of raw distinct keys that grows with them) and
+# removes the definitely-new rows map-side; only the maybe-done sliver
+# pays the exact anti-join shuffle.  No false negatives by construction,
+# so the composition is EXACT — false positives merely ride into the
+# verification join and are kept there.
+#
+# Spark's own BloomFilterAggregate/might_contain pair is not exposed to
+# SQL in this build (UNRESOLVED_ROUTINE — it exists only for Catalyst's
+# runtime row-level filtering), so the filter is built from public
+# column expressions: k seeded xxhash64 probes → explode → ONE bit_or
+# hash-agg over ≤ m/64 word rows → a one-row broadcast map<int,bigint>.
+# Membership is k element_at lookups — pure JVM codegen, no join, no UDF.
+# ---------------------------------------------------------------------------
+
+def bloom_build(done: DataFrame, key: str, m_bits: int = 1 << 20,
+                k: int = 5) -> DataFrame:
+    """ONE-row DataFrame ``(__bloom: map<int,bigint>)`` — a Bloom filter
+    over ``done[key]`` as word-index → 64-bit word.
+
+    Build cost: a k× narrow fan-out of hashes, one hash-agg down to
+    ≤ ``m_bits/64`` word rows, one collect-to-map global agg.  Only the
+    fixed-size sketch ever leaves the executors.
+    """
+    probes = done.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(m_bits))
+        for i in range(k)])).alias("__pos"))
+    words = (probes
+             .select(F.floor(F.col("__pos") / 64).cast("int").alias("__w"),
+                     F.call_function(
+                         "shiftleft", F.lit(1).cast("bigint"),
+                         (F.col("__pos") % 64).cast("int")).alias("__mask"))
+             .groupBy("__w").agg(F.bit_or("__mask").alias("__bits")))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("__w", "__bits")))
+        .alias("__bloom"))
+
+
+def might_contain_expr(bloom, key_col, m_bits: int = 1 << 20,
+                       k: int = 5):
+    """Column: True iff every one of the k probe bits for ``key_col`` is
+    set in the ``bloom`` map column.  Missing words coalesce to 0 (an
+    empty done set says "definitely not contained" for everything)."""
+    cond = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(i), key_col), F.lit(m_bits))
+        w = F.floor(pos / 64).cast("int")
+        mask = F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                               (pos % 64).cast("int"))
+        word = F.coalesce(F.element_at(bloom, w), F.lit(0).cast("bigint"))
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return cond
+
+
+def split_by_bloom(source: DataFrame, done: DataFrame, key: str,
+                   done_key: str | None = None, m_bits: int = 1 << 20,
+                   k: int = 5) -> tuple[DataFrame, DataFrame]:
+    """(definitely_unprocessed, maybe_done) — the map-side Bloom split.
+
+    ``definitely_unprocessed`` needs NO join (no false negatives);
+    ``maybe_done`` is the sliver (true-done rows + ~fpp false positives)
+    that still needs the exact anti-join."""
+    done_key = done_key or key
+    bloom = bloom_build(done.select(F.col(done_key).alias("__k")), "__k",
+                        m_bits, k)
+    tagged = source.crossJoin(F.broadcast(bloom))
+    mc = might_contain_expr(F.col("__bloom"), F.col(key), m_bits, k)
+    return (tagged.filter(~mc).drop("__bloom"),
+            tagged.filter(mc).drop("__bloom"))
+
+
+def unprocessed_bloom(source: DataFrame, done: DataFrame, key: str,
+                      done_key: str | None = None, m_bits: int = 1 << 20,
+                      k: int = 5) -> DataFrame:
+    """EXACT ``source ∖ done`` on ``key`` with the anti-join shuffle paid
+    only by the Bloom-positive sliver.  Equals the plain left_anti row
+    for row (oracled as NOT EXISTS in ``queries.py::bloom_gate``)."""
+    done_key = done_key or key
+    definite, candidates = split_by_bloom(source, done, key, done_key,
+                                          m_bits, k)
+    done_keys = done.select(F.col(done_key).alias("__dk")).distinct()
+    exact = (candidates
+             .join(done_keys, candidates[key] == done_keys["__dk"],
+                   "left_anti"))
+    return definite.unionByName(exact)
+
+
 def unprocessed(documents: DataFrame, results: DataFrame | None,
                 cfg: ExtractConfig) -> DataFrame:
     """Select the work set for a run according to ``cfg.processing_mode``."""

@@ -2970,6 +2970,54 @@ def bpe_tokenize(spark, sf_dir):
                      " ").alias("tokens"))
 
 
+# ===========================================================================
+# shuffle-geometry operators: skew salting, Bloom-gated incremental work
+# ===========================================================================
+
+@register("salted_join_skew", """
+SELECT e.event_id, e.user_id, c.c_name
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+""")
+def salted_join_skew(spark, sf_dir):
+    """Skew-salted fact⋈dim equi-join: fact rows carry a deterministic
+    salt in [0, 8), the dim is replicated 8×, and the join key becomes
+    (key, salt) — one hot fact key spreads over 8 shuffle partitions
+    instead of pinning one straggler task.  EXACT: the salted plan
+    produces precisely the plain join's rows (this oracle), because each
+    fact row joins the single dim replica carrying its salt.  The dim is
+    pinned SHUFFLE_HASH — salting exists because the dim is too big to
+    broadcast, and letting the gate-scale plan broadcast would bench a
+    different strategy than production."""
+    from .operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (salted_join(ev, cust, "user_id", "c_custkey", n_salts=8)
+            .select("event_id", "user_id", "c_name"))
+
+
+@register("bloom_gate", """
+SELECT event_id, user_id FROM events
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = user_id AND o_orderstatus = 'F')
+""")
+def bloom_gate(spark, sf_dir):
+    """Bloom-gated incremental anti-join (the 10^12-doc shape of the
+    done-set subtraction): a fixed-size Bloom filter over the done keys
+    — built with explode → ONE bit_or hash-agg → one-row broadcast
+    map<int,bigint>, since Spark's own bloom_filter_agg is not SQL-
+    exposed — removes definitely-unprocessed rows MAP-SIDE; only the
+    maybe-done sliver (true dones + ~fpp false positives) pays the exact
+    anti-join shuffle.  No false negatives ⇒ the composition equals the
+    plain NOT EXISTS row for row (this oracle)."""
+    from .operators.incremental import unprocessed_bloom
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    done = (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    return unprocessed_bloom(ev, done, "user_id", done_key="o_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
