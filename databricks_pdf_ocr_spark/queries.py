@@ -3018,6 +3018,50 @@ def bloom_gate(spark, sf_dir):
     return unprocessed_bloom(ev, done, "user_id", done_key="o_custkey")
 
 
+@register("csv_roundtrip", """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def csv_roundtrip(spark, sf_dir):
+    """Dirty-CSV mouth (text scan + JVM from_csv, explicit schema, error
+    rows) composed with the RFC-4180 sink: documents → CSV files → parsed
+    back through the mouth must reproduce the table exactly (this plain-
+    select oracle).  The text scan keeps plain CSV splittable — input
+    splits, not files, are the parallelism unit at 100 TB; dirt semantics
+    (bad casts, arity, quoting) are pinned in test_csv_source.py."""
+    import tempfile
+
+    from .sources import csvsrc
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _t(spark, sf_dir, "documents").select(*cols)
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    csvsrc.write_csv(docs, d)
+    parsed = csvsrc.read_csv_lines(
+        spark, d,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT")
+    return csvsrc.good_rows(parsed).select(*cols)
+
+
+@register("orc_roundtrip", """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip (the second columnar format Spark
+    ships natively): documents → ORC → scan must reproduce the table
+    exactly.  Column pruning and predicate pushdown work on ORC exactly
+    as on parquet, so a lake standardized on ORC runs this engine
+    unchanged — format parity the reference (hardcoded to Delta paths)
+    does not have."""
+    import tempfile
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _t(spark, sf_dir, "documents").select(*cols)
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    docs.write.mode("overwrite").orc(d)
+    return spark.read.orc(d).select(*cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
