@@ -111,10 +111,18 @@ def split_by_bloom(source: DataFrame, done: DataFrame, key: str,
 
     ``definitely_unprocessed`` needs NO join (no false negatives);
     ``maybe_done`` is the sliver (true-done rows + ~fpp false positives)
-    that still needs the exact anti-join."""
+    that still needs the exact anti-join.
+
+    Cost shape: the two legs each scan ``source`` once — two
+    column-pruned scans replace one full-width shuffle of the whole
+    source, which is the winning trade at 10^12 rows (scan bandwidth is
+    the cheap resource; the shuffle is the bottleneck).  The one-row
+    bloom DF is persisted so its build (the done-set scan + bit_or agg)
+    runs once, not once per leg — verified in PLANS.md: without the
+    persist the two broadcast subtrees are NOT exchange-reused."""
     done_key = done_key or key
     bloom = bloom_build(done.select(F.col(done_key).alias("__k")), "__k",
-                        m_bits, k)
+                        m_bits, k).persist()
     tagged = source.crossJoin(F.broadcast(bloom))
     mc = might_contain_expr(F.col("__bloom"), F.col(key), m_bits, k)
     return (tagged.filter(~mc).drop("__bloom"),

@@ -26,7 +26,8 @@ SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
         "dedup_minhash_lsh", "embed_cosine_topk", "asof_join_events_orders",
         "bm25_topk", "dedup_substring_spans", "robots_gate",
         "band_join_error_clicks", "dsir_logweights", "zorder_layout",
-        "quality_classifier", "q5_local_supplier_volume", "chunk_overlap"]
+        "quality_classifier", "q5_local_supplier_volume", "chunk_overlap",
+        "salted_join_skew", "bloom_gate"]
 
 
 def plan_of(df) -> str:
