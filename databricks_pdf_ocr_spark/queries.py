@@ -3015,7 +3015,9 @@ def bloom_gate(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
     done = (_t(spark, sf_dir, "orders")
             .filter(F.col("o_orderstatus") == "F").select("o_custkey"))
-    return unprocessed_bloom(ev, done, "user_id", done_key="o_custkey")
+    # m sized ~13 bits/key for the ≤10k distinct done keys at gate scale
+    return unprocessed_bloom(ev, done, "user_id", done_key="o_custkey",
+                             m_bits=1 << 17)
 
 
 @register("csv_roundtrip", """

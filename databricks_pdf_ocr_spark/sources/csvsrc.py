@@ -102,5 +102,7 @@ def write_csv(df: DataFrame, path: str) -> None:
     field quoted, quotes doubled (RFC 4180), so embedded commas/quotes
     round-trip on a single line (the splittability contract above)."""
     (df.write.mode("overwrite")
-     .options(quote='"', escape='"', quoteAll=True, header=False)
+     .options(quote='"', escape='"', quoteAll=True, header=False,
+              # the writer TRIMS field whitespace by default — data loss
+              ignoreLeadingWhiteSpace=False, ignoreTrailingWhiteSpace=False)
      .csv(path))

@@ -78,3 +78,23 @@ def test_text_scan_is_splittable_schema(spark, tmp_path):
     parsed = csvsrc.read_csv_lines(spark, str(tmp_path), SCHEMA)
     plan = parsed._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<value:string>" in plan
+
+
+def test_roundtrip_random_printable(spark):
+    """200 random printable newline-free strings (quotes, commas,
+    backslashes, unicode) survive sink → mouth exactly."""
+    import random
+    rng = random.Random("csv-prop")
+    alphabet = ('abc",\\\'|;:)(][ «é中あ😀' + "`~!@#$%^&*")
+    rows = [(i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 40))), "en")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    import tempfile
+    out = tempfile.mkdtemp(prefix="csv_prop_")
+    csvsrc.write_csv(df, out)
+    parsed = csvsrc.read_csv_lines(spark, out, SCHEMA)
+    assert csvsrc.error_rows(parsed).count() == 0
+    got = sorted((r.id, r.txt, r.lang)
+                 for r in csvsrc.good_rows(parsed).collect())
+    assert got == sorted(rows)

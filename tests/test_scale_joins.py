@@ -157,3 +157,38 @@ def test_might_contain_expr_direct(spark):
              .select(might_contain_expr(F.col("__bloom"), F.col("id"),
                                         m_bits=1 << 14, k=5).alias("mc")))
     assert all(r["mc"] for r in probe.collect())
+
+
+# ---------------------------------------------------------------------------
+# randomized differential checks (seeded — one Spark job per seed)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_salted_join_random_differential(spark, seed):
+    """Random keys with duplicates on BOTH sides and nulls: salted must
+    preserve full join multiplicity (dup dim keys fan out per fact row)."""
+    import random
+    rng = random.Random(f"salted-{seed}")
+    fact = [(rng.choice([None] + list(range(20))), rng.randint(0, 9))
+            for _ in range(300)]
+    dim = [(rng.choice(list(range(25))), rng.randint(0, 9))
+           for _ in range(60)]  # dup dim keys on purpose
+    f = spark.createDataFrame(fact, "k int, v int")
+    d = spark.createDataFrame(dim, "dk int, w int")
+    for how in ("inner", "left"):
+        plain = f.join(d, f.k == d.dk, how)
+        salted = salted_join(f, d, "k", "dk", n_salts=5, how=how)
+        assert _sorted(salted) == _sorted(plain), (seed, how)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bloom_random_differential(spark, seed):
+    import random
+    rng = random.Random(f"bloom-{seed}")
+    src = [(rng.randint(0, 500),) for _ in range(400)]
+    done = [(rng.randint(0, 500),) for _ in range(200)]
+    s = spark.createDataFrame(src, "key bigint")
+    d = spark.createDataFrame(done, "dk bigint")
+    got = unprocessed_bloom(s, d, "key", done_key="dk", m_bits=1 << 14)
+    want = s.join(d, s.key == d.dk, "left_anti")
+    assert _sorted(got) == _sorted(want), seed
