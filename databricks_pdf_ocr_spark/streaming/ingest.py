@@ -150,20 +150,21 @@ def documents_stream(spark: SparkSession, input_dir: str,
     return spark.readStream.schema(schema).parquet(input_dir)
 
 
-def start_jsonl_ingestion_stream(spark: SparkSession, landing_dir: str,
+def start_lines_ingestion_stream(spark: SparkSession, landing_dir: str,
                                  target_dir: str, checkpoint_dir: str,
-                                 glob: str = "*.jsonl*",
+                                 glob: str,
                                  max_files_per_trigger: int | None = 8):
-    """Streaming twin of ``jsonl.read_jsonl_dir``: new .jsonl(.gz) dumps
-    landing in a directory drain exactly-once into a raw-line table
-    (value, file).  Parsing + error routing + latest-URL-wins stay
+    """Exactly-once raw-LINE landing for any line-delimited crawl dump:
+    new files matching ``glob`` drain into a raw-line table
+    (value, file).  Parsing + error routing + latest-key-wins stay
     BATCH steps downstream (``jsonl.lines_to_documents`` /
-    ``error_lines``) — the dedup needs a per-URL window append-mode
-    streaming cannot express, and line POSITIONS are also assigned in
-    that batch step (``monotonically_increasing_id`` is rejected under
-    streaming; the landed parquet preserves per-file write order, so
-    batch assignment is equivalent).  Landing raw exactly-once and
-    curating in batch is the same crawl-lake split as the WARC mouth.
+    ``csvsrc.read_csv_lines`` over the landed table) — the dedup needs
+    a per-key window append-mode streaming cannot express, and line
+    POSITIONS are also assigned in that batch step
+    (``monotonically_increasing_id`` is rejected under streaming; the
+    landed parquet preserves per-file write order, so batch assignment
+    is equivalent).  Landing raw exactly-once and curating in batch is
+    the same crawl-lake split as the WARC mouth.
 
     Returns the StreamingQuery; callers ``awaitTermination()``.
     """
@@ -183,3 +184,26 @@ def start_jsonl_ingestion_stream(spark: SparkSession, landing_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def start_jsonl_ingestion_stream(spark: SparkSession, landing_dir: str,
+                                 target_dir: str, checkpoint_dir: str,
+                                 glob: str = "*.jsonl*",
+                                 max_files_per_trigger: int | None = 8):
+    """Streaming twin of ``jsonl.read_jsonl_dir`` (see
+    ``start_lines_ingestion_stream``)."""
+    return start_lines_ingestion_stream(spark, landing_dir, target_dir,
+                                        checkpoint_dir, glob,
+                                        max_files_per_trigger)
+
+
+def start_csv_ingestion_stream(spark: SparkSession, landing_dir: str,
+                               target_dir: str, checkpoint_dir: str,
+                               glob: str = "*.csv*",
+                               max_files_per_trigger: int | None = 8):
+    """Streaming twin of ``csvsrc.read_csv_lines``: land raw CSV lines
+    exactly-once; parse with explicit schema + typed error rows in batch
+    over the landed table (see ``start_lines_ingestion_stream``)."""
+    return start_lines_ingestion_stream(spark, landing_dir, target_dir,
+                                        checkpoint_dir, glob,
+                                        max_files_per_trigger)
