@@ -126,6 +126,37 @@ def hash_sample(df: DataFrame, fraction_pct: dict[str, int],
     return df.filter(bucket < pct)
 
 
+def sample_weighted(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement, top-k shape
+    (Efraimidis–Spirakis): each row draws a deterministic uniform
+    u ∈ (0, 1] from ``sha2(id:seed)`` and is ranked by ``ln(u)/w``;
+    the k best rows are a weighted sample (inclusion ∝ weight, exactly
+    the sequential algorithm's distribution).
+
+    Deterministic + idempotent like ``hash_sample``: reruns, engines,
+    and cluster sizes cannot change the selection — ``rand()`` or
+    driver reservoirs are neither.  Cost: one narrow projection + a
+    TakeOrdered (per-partition partial top-k, merge on the driver —
+    never a global sort shuffle).  Rows with w ≤ 0 or null are excluded
+    (zero weight = never sampled); ties broken by id.
+
+    The composition target is DSIR/quality scores: ``dsir_logweights``
+    or the learned-gate margin as ``weight_col`` turns a scored corpus
+    into a fixed-size training subset drawn ∝ importance.
+    """
+    u = (F.expr(
+        f"cast(conv(substr(sha2(concat(cast({id_col} as string), "
+        f"':{seed}'), 256), 1, 8), 16, 10) as bigint)")
+        .cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    score = F.log(u) / F.col(weight_col)
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("__es", score)
+            .orderBy(F.col("__es").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__es"))
+
+
 def with_features(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """All text-analysis features in ONE narrow pass — language ID, quality

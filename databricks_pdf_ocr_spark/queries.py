@@ -2970,6 +2970,30 @@ def bpe_tokenize(spark, sf_dir):
                      " ").alias("tokens"))
 
 
+@register("sample_weighted_topk", """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'),
+                                  1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+         / n_chars AS s
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM scored ORDER BY s DESC, doc_id LIMIT 50
+""")
+def sample_weighted_topk(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis top-k):
+    deterministic hash uniforms → rank by ln(u)/w → TakeOrdered — an
+    exact ∝-weight subset that is rerun/engine/cluster-size stable,
+    unlike rand() reservoirs.  Weight here = n_chars (longer docs
+    proportionally likelier), the shape a DSIR/quality-scored corpus
+    uses to draw a fixed-size training subset."""
+    from .operators.text_analysis import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    return (sample_weighted(docs, "n_chars", k=50)
+            .select("doc_id", "n_chars"))
+
+
 # ===========================================================================
 # shuffle-geometry operators: skew salting, Bloom-gated incremental work
 # ===========================================================================

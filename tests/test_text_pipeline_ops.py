@@ -383,3 +383,50 @@ def test_value_outliers_planted(spark, tmp_path):
     got = QUERIES["value_outliers"]["fn"](spark, d).collect()
     assert [(r["event_id"], r["event_type"]) for r in got] == [(99, "A")]
     assert got[0]["rz_e3"] >= 3000
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (Efraimidis–Spirakis top-k)
+# ---------------------------------------------------------------------------
+
+def _es_reference(rows, k, seed=42):
+    """Sequential E-S with the identical sha-derived uniforms."""
+    import hashlib
+    import math
+    scored = []
+    for rid, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = hashlib.sha256(f"{rid}:{seed}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1.0) / 4294967296.0
+        scored.append((math.log(u) / w, rid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [rid for _, rid in scored[:k]]
+
+
+def test_sample_weighted_matches_sequential_reference(spark):
+    from databricks_pdf_ocr_spark.operators.text_analysis import (
+        sample_weighted)
+    rows = [(i, (i % 7) + 1) for i in range(500)] + [(900, 0), (901, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    got = [r.doc_id for r in
+           sample_weighted(df, "w", k=40, seed=42).collect()]
+    assert sorted(got) == sorted(_es_reference(rows, 40))
+    # zero/null weights never sampled
+    assert 900 not in got and 901 not in got
+
+
+def test_sample_weighted_is_deterministic_and_weighted(spark):
+    from databricks_pdf_ocr_spark.operators.text_analysis import (
+        sample_weighted)
+    # 100 heavy (w=10) + 400 light (w=1): heavy should be strongly
+    # overrepresented vs its 20% population share
+    rows = [(i, 10) for i in range(100)] + [(i, 1) for i in range(100, 500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    a = sorted(r.doc_id for r in sample_weighted(df, "w", k=50).collect())
+    b = sorted(r.doc_id for r in sample_weighted(df, "w", k=50).collect())
+    assert a == b
+    heavy = sum(1 for d in a if d < 100)
+    assert heavy > 25, f"heavy class got {heavy}/50 — weighting broken"
+    # k > population: every positive-weight row returned
+    assert sample_weighted(df, "w", k=9999).count() == 500
