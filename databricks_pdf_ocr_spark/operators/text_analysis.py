@@ -145,16 +145,44 @@ def sample_weighted(df: DataFrame, weight_col: str, k: int,
     or the learned-gate margin as ``weight_col`` turns a scored corpus
     into a fixed-size training subset drawn ∝ importance.
     """
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("__es", _es_score(weight_col, id_col, seed))
+            .orderBy(F.col("__es").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__es"))
+
+
+def _es_score(weight_col: str, id_col: str, seed: int):
+    """The Efraimidis–Spirakis key ``ln(u)/w`` with a deterministic
+    hash-derived uniform u ∈ (0, 1] — shared by the global and
+    per-group samplers so both select identically for the same rows."""
     u = (F.expr(
         f"cast(conv(substr(sha2(concat(cast({id_col} as string), "
         f"':{seed}'), 256), 1, 8), 16, 10) as bigint)")
         .cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
-    score = F.log(u) / F.col(weight_col)
+    return F.log(u) / F.col(weight_col)
+
+
+def sample_weighted_per_group(df: DataFrame, group_col: str,
+                              weight_col: str, k: int,
+                              id_col: str = "doc_id",
+                              seed: int = 42) -> DataFrame:
+    """``sample_weighted`` stratified: an exact weighted sample of k
+    rows WITHIN each group (per-language / per-source quota draws —
+    the mixture-rebalance shape where each stratum's subset must
+    itself be ∝-weight).
+
+    One window over (group, score): rank inside each hash-partitioned
+    group and keep the k best keys.  No global sort, no driver merge —
+    groups rank in parallel, so this is the variant that scales when
+    k × n_groups is too big for the global sampler's TakeOrdered."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__es").desc(), F.col(id_col))
     return (df.filter(F.col(weight_col) > 0)
-            .withColumn("__es", score)
-            .orderBy(F.col("__es").desc(), F.col(id_col))
-            .limit(k)
-            .drop("__es"))
+            .withColumn("__es", _es_score(weight_col, id_col, seed))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__es", "__rn"))
 
 
 def with_features(df: DataFrame, id_col: str = "doc_id",

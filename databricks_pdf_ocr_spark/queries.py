@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
 from .operators import classifier, dedup, layout, similarity, text_analysis
+from .operators import tokenize as _tok
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -2992,6 +2993,83 @@ def sample_weighted_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (sample_weighted(docs, "n_chars", k=50)
             .select("doc_id", "n_chars"))
+
+
+@register("sample_weighted_per_lang", """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':42'),
+                                  1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+         / n_chars AS s
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS rn
+  FROM scored) WHERE rn <= 10
+""")
+def sample_weighted_per_lang(spark, sf_dir):
+    """Stratified weighted sampling: an exact Efraimidis–Spirakis draw of
+    k=10 docs WITHIN each language, ∝ n_chars — the per-stratum quota
+    shape mixture rebalancing needs.  One window per group partition;
+    groups rank in parallel (no global sort, no driver merge), so this
+    is the scale path when k × n_groups outgrows the global sampler."""
+    from .operators.text_analysis import sample_weighted_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (sample_weighted_per_group(docs, "lang", "n_chars", k=10)
+            .select("doc_id", "lang", "n_chars"))
+
+
+@register("vocab_topk", f"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text,
+             '{_tok.PRETOKEN_PATTERN}')) AS word
+      FROM documents)
+GROUP BY word ORDER BY n DESC, word LIMIT 40
+""")
+def vocab_topk(spark, sf_dir):
+    """Tokenizer-vocabulary induction as heavy hitters: corpus → top-40
+    (pre-token, count).  JVM-side regexp_extract_all + explode into ONE
+    hash-agg (map-side partial combine) + TakeOrdered — the exact
+    distributed statistics stage ``tokenize.bpe_train`` consumes, here
+    oracled standalone against DuckDB's RE2 on the shared ASCII-safe
+    pre-token pattern (identical under Java regex and RE2)."""
+    from .operators.tokenize import word_counts
+
+    return word_counts(_t(spark, sf_dir, "documents"), top_k=40)
+
+
+@register("timeseries_gapfill", """
+WITH agg AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT CAST(epoch(date_trunc('hour', min(ts))) / 3600 AS BIGINT) AS lo,
+         CAST(epoch(date_trunc('hour', max(ts))) / 3600 AS BIGINT) AS hi
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS hr FROM span) g
+)
+SELECT grid.event_type, grid.hr,
+       coalesce(agg.n_events, 0) AS n_events,
+       round(coalesce(agg.sv, 0), 2) AS sum_value
+FROM grid LEFT JOIN agg
+  ON grid.event_type = agg.event_type AND grid.hr = agg.hr
+""")
+def timeseries_gapfill(spark, sf_dir):
+    """Hypertable continuous-aggregate shape (time_bucket_gapfill): per
+    (event_type, epoch-hour) count + value sum over a DENSE hour grid —
+    empty buckets are explicit zero rows.  One partial-agg shuffle over
+    the facts; the grid and the gap-fill join are model-scale and
+    broadcast (see operators/timeseries.py for the 100 TB notes)."""
+    from .operators.timeseries import downsample_gapfill
+
+    return downsample_gapfill(_t(spark, sf_dir, "events"))
 
 
 # ===========================================================================

@@ -430,3 +430,71 @@ def test_sample_weighted_is_deterministic_and_weighted(spark):
     assert heavy > 25, f"heavy class got {heavy}/50 — weighting broken"
     # k > population: every positive-weight row returned
     assert sample_weighted(df, "w", k=9999).count() == 500
+
+def test_sample_weighted_per_group_quota_and_reference(spark):
+    from databricks_pdf_ocr_spark.operators.text_analysis import (
+        sample_weighted_per_group)
+    # 3 groups x 60 rows, varied weights; group quota k=5 each
+    rows = [(g * 100 + i, f"g{g}", (i % 9) + 1)
+            for g in range(3) for i in range(60)]
+    rows += [(999, "g0", 0), (998, "g1", None)]   # never sampled
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w int")
+    got = sample_weighted_per_group(df, "lang", "w", k=5).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.lang, []).append(r.doc_id)
+    assert {g: len(v) for g, v in by_group.items()} == \
+        {"g0": 5, "g1": 5, "g2": 5}
+    assert 999 not in by_group["g0"] and 998 not in by_group["g1"]
+    # per-group selection == sequential E-S run on that group alone
+    for g in range(3):
+        grp = [(rid, w) for rid, lang, w in rows if lang == f"g{g}"]
+        assert sorted(by_group[f"g{g}"]) == sorted(_es_reference(grp, 5))
+
+
+def test_sample_weighted_per_group_matches_global_on_one_group(spark):
+    """Same hash keys => the per-group variant restricted to a single
+    group must select exactly what the global sampler selects."""
+    from databricks_pdf_ocr_spark.operators.text_analysis import (
+        sample_weighted, sample_weighted_per_group)
+    rows = [(i, "only", (i % 4) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w int")
+    a = sorted(r.doc_id for r in sample_weighted(df, "w", k=25).collect())
+    b = sorted(r.doc_id for r in
+               sample_weighted_per_group(df, "lang", "w", k=25).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# time-series downsample with gap fill
+# ---------------------------------------------------------------------------
+
+def test_timeseries_gapfill_dense_grid_and_zero_rows(spark):
+    import datetime as dt
+    from databricks_pdf_ocr_spark.operators.timeseries import (
+        downsample_gapfill)
+    base = dt.datetime(2024, 3, 1, 0, 30)
+    # type A: events in hours 0, 1, 3 (hour 2 is a gap)
+    rows = [(1, base, 10, "A", 1.5, "{}"),
+            (2, base + dt.timedelta(hours=1), 10, "A", 2.25, "{}"),
+            (3, base + dt.timedelta(hours=1, minutes=20), 11, "A", 1.0, "{}"),
+            (4, base + dt.timedelta(hours=3), 12, "A", 4.0, "{}"),
+            # type B: only hour 1 -> B must gap-fill hours 0, 2, 3
+            (5, base + dt.timedelta(hours=1), 13, "B", 7.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    got = {(r.event_type, r.hr): (r.n_events, r.sum_value)
+           for r in downsample_gapfill(df).collect()}
+    h0 = int(dt.datetime(2024, 3, 1).timestamp() -
+             dt.datetime(1970, 1, 1).timestamp()) // 3600
+    # dense grid: 2 types x 4 hours, every cell present
+    assert len(got) == 8
+    assert got[("A", h0)] == (1, 1.5)
+    assert got[("A", h0 + 1)] == (2, 3.25)
+    assert got[("A", h0 + 2)] == (0, 0.0)       # the gap is an explicit zero
+    assert got[("A", h0 + 3)] == (1, 4.0)
+    assert got[("B", h0)] == (0, 0.0)
+    assert got[("B", h0 + 1)] == (1, 7.0)
+    assert got[("B", h0 + 2)] == (0, 0.0)
+    assert got[("B", h0 + 3)] == (0, 0.0)
