@@ -72,3 +72,41 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
                     .cast("long").alias("score_e4"))
             .orderBy(F.col("score_e4").desc(), F.col(id_col))
             .limit(k))
+
+def tfidf_topterms(docs: DataFrame, k: int = 3,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword/feature-extraction
+    twin of ``bm25_topk`` (that one ranks docs for a query; this one
+    summarises every doc): ``tf * ln((N+1)/(df+1))``, the smoothed IDF
+    that never divides by zero and stays positive.
+
+    Scale shape: one explode feeding ONE (doc, term) hash-agg; document
+    frequency is a second agg over that already-deduplicated pair table
+    (never a count-DISTINCT Expand); corpus size is a single-row agg
+    cross-joined broadcast.  The tf↔df join keys on term — vocab-sized,
+    far smaller than the corpus, AQE picks broadcast when it fits.  The
+    per-doc top-k is a window over the doc partition: every doc ranks
+    in parallel, no global sort.
+
+    Emits ``(doc_id, word, tfidf_e6)`` floor-scaled to 1e-6 ints (the
+    engine-portable composite recipe), ties broken by word.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    tf = toks.groupBy(id_col, "word").agg(
+        F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0)
+                                / (F.col("df") + 1))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(
+        score.desc(), F.col("word"))
+    return (tf.join(dfreq, "word")
+            .crossJoin(F.broadcast(n))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(id_col, "word",
+                    F.floor(score * 1e6).cast("long").alias("tfidf_e6")))

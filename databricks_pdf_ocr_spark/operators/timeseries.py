@@ -62,3 +62,29 @@ def downsample_gapfill(events: DataFrame,
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.round(F.coalesce("sum_value", F.lit(0.0)), 2)
                      .alias("sum_value")))
+
+
+def moving_window(events: DataFrame, window: int = 4,
+                  dim_col: str = "event_type") -> DataFrame:
+    """Trailing ``window``-hour rolling value sum per dim — the
+    continuous-aggregate consumer the gap fill exists FOR: only on a
+    dense grid does a ROWS frame mean "last N hours"; on a sparse one
+    it silently means "last N hours WITH events" (and the rolling mean
+    is just this over the window length).
+
+    One window per dim partition over the model-scale dense grid (the
+    heavy lifting — the fact hash-agg — already happened inside
+    ``downsample_gapfill``).  Emits (dim, hr, n_events, sum_value,
+    win_sum_e2): the rolling sum round-half-up-scaled to 1e-2 ints —
+    the 2-dp inputs make the scaled sum integer-valued, so the int is
+    engine-portable where a ``round()`` of the divided mean is not
+    (sliding frames accumulate in different orders per engine; avg/4
+    lands exactly on .5 at 3 dp)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(dim_col).orderBy("hr")
+         .rowsBetween(-(window - 1), 0))
+    return (downsample_gapfill(events, dim_col)
+            .withColumn(
+                "win_sum_e2",
+                F.floor(F.sum("sum_value").over(w) * 100 + F.lit(0.5))
+                 .cast("long")))

@@ -3072,6 +3072,75 @@ def timeseries_gapfill(spark, sf_dir):
     return downsample_gapfill(_t(spark, sf_dir, "events"))
 
 
+@register("timeseries_moving_window", """
+WITH agg AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT CAST(epoch(date_trunc('hour', min(ts))) / 3600 AS BIGINT) AS lo,
+         CAST(epoch(date_trunc('hour', max(ts))) / 3600 AS BIGINT) AS hi
+  FROM events
+), grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS hr FROM span) g
+), dense AS (
+  SELECT grid.event_type, grid.hr,
+         coalesce(agg.n_events, 0) AS n_events,
+         round(coalesce(agg.sv, 0), 2) AS sum_value
+  FROM grid LEFT JOIN agg
+    ON grid.event_type = agg.event_type AND grid.hr = agg.hr
+)
+SELECT event_type, hr, n_events, sum_value,
+       CAST(floor(sum(sum_value) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100 + 0.5)
+            AS BIGINT) AS win_sum_e2
+FROM dense
+""")
+def timeseries_moving_window(spark, sf_dir):
+    """Trailing 4-hour rolling value sum per event_type over the DENSE
+    gap-filled grid — the rollup consumer gap fill exists for (a ROWS
+    frame only means "last 4 hours" when empty hours are explicit
+    rows).  Scaled to e2 ints: the 2-dp inputs make the rolling sum
+    integer-valued, portable across the engines' different sliding-
+    frame accumulation orders where a rounded mean is not."""
+    from .operators.timeseries import moving_window
+
+    return moving_window(_t(spark, sf_dir, "events"), window=4)
+
+
+@register("tfidf_topterms", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT doc_id, word, tfidf_e6 FROM (
+  SELECT tf.doc_id, tf.word,
+         CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1)) * 1000000)
+              AS BIGINT) AS tfidf_e6,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1)) DESC,
+                    tf.word) AS rn
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+) WHERE rn <= 3
+""")
+def tfidf_topterms_q(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords — the feature-extraction twin
+    of bm25_topk (that one ranks docs for a query; this summarises
+    every doc).  One explode → ONE (doc, term) hash-agg; df is an agg
+    over that pair table (no count-DISTINCT Expand); per-doc top-k is
+    a window, every doc ranks in parallel."""
+    from .operators.text_search import tfidf_topterms
+
+    return tfidf_topterms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # ===========================================================================
 # shuffle-geometry operators: skew salting, Bloom-gated incremental work
 # ===========================================================================

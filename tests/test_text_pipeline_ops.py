@@ -498,3 +498,48 @@ def test_timeseries_gapfill_dense_grid_and_zero_rows(spark):
     assert got[("B", h0 + 1)] == (1, 7.0)
     assert got[("B", h0 + 2)] == (0, 0.0)
     assert got[("B", h0 + 3)] == (0, 0.0)
+
+def test_timeseries_moving_window_rolls_over_gaps(spark):
+    import datetime as dt
+    from databricks_pdf_ocr_spark.operators.timeseries import moving_window
+    base = dt.datetime(2024, 3, 1, 0, 15)
+    # A: sums per hour = [2.0, 0, 0, 0, 3.0, 1.0] (hours 1-3 are gaps)
+    rows = [(1, base, 1, "A", 2.0, "{}"),
+            (2, base + dt.timedelta(hours=4), 1, "A", 3.0, "{}"),
+            (3, base + dt.timedelta(hours=5), 1, "A", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    got = {r.hr: r.win_sum_e2 for r in moving_window(df, window=4).collect()}
+    h0 = min(got)
+    # trailing 4h sums x100: [200, 200, 200, 200, 300, 400]
+    assert [got[h0 + i] for i in range(6)] == [200, 200, 200, 200, 300, 400]
+
+
+def test_tfidf_topterms_hand_computed(spark):
+    import math
+    from databricks_pdf_ocr_spark.operators.text_search import tfidf_topterms
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c d")],
+        "doc_id long, text string")
+    got = {}
+    for r in tfidf_topterms(df, k=2).collect():
+        got.setdefault(r.doc_id, []).append((r.word, r.tfidf_e6))
+    def e6(tf, df_):
+        return math.floor(tf * math.log(4.0 / (df_ + 1)) * 1e6)
+    # doc1: b=1*ln(2) beats a=2*ln(4/3)
+    assert sorted(got[1]) == sorted([("b", e6(1, 1)), ("a", e6(2, 2))])
+    # doc2: both terms idf ln(4/3); tie broken by word => a, c (k=2 keeps both)
+    assert sorted(got[2]) == sorted([("a", e6(1, 2)), ("c", e6(1, 2))])
+    # doc3: c=3*ln(4/3) vs d=1*ln(2) -> c first; k=2 keeps both
+    assert sorted(got[3]) == sorted([("c", e6(3, 2)), ("d", e6(1, 1))])
+
+
+def test_tfidf_topterms_k_cut_is_deterministic(spark):
+    from databricks_pdf_ocr_spark.operators.text_search import tfidf_topterms
+    # 5 words with identical tf-idf: the k=3 cut must take a, b, c (word asc)
+    df = spark.createDataFrame([(1, "a b c d e"), (2, "z")],
+                               "doc_id long, text string")
+    words = sorted(r.word for r in
+                   tfidf_topterms(df, k=3).where("doc_id = 1").collect())
+    assert words == ["a", "b", "c"]
