@@ -39,7 +39,7 @@ HEADLINE = [
     "embed_cosine_topk", "ann_lsh_topk", "lang_id", "text_quality",
     "token_count", "doc_fingerprint", "span_reassembly",
     "lm_bigram_quality", "chunk_overlap", "band_join_error_clicks",
-    "salted_join_skew", "bloom_gate",
+    "salted_join_skew", "bloom_gate", "vocab_topk", "tfidf_topterms",
 ]
 
 

@@ -3141,6 +3141,79 @@ def tfidf_topterms_q(spark, sf_dir):
     return tfidf_topterms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@register("key_skew_stats", """
+WITH per_key AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS total
+  FROM per_key
+)
+SELECT user_id, cnt,
+       CAST(floor(cnt * 1000.0 * n_keys / total) AS BIGINT) AS ratio_e3
+FROM per_key CROSS JOIN tot
+ORDER BY cnt DESC, user_id LIMIT 10
+""")
+def key_skew_stats(spark, sf_dir):
+    """Shuffle-key skew diagnostic — the DETECTOR feeding the
+    salted-join path (salted_join_skew): per-key row counts, the top-10
+    heaviest keys, and each key's load as a multiple of the mean
+    (ratio_e3 = 1000 × cnt / (total / n_keys)).  At 100 TB you run
+    exactly this before choosing join strategy: one partial-agg
+    hash-agg, a single-row global agg broadcast back, TakeOrdered 10.
+    All-integer inputs make the floored ratio engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = per_key.agg(F.count("*").alias("n_keys"),
+                      F.sum("cnt").alias("total"))
+    ratio = F.floor(F.col("cnt") * 1000.0 * F.col("n_keys")
+                    / F.col("total")).cast("long").alias("ratio_e3")
+    return (per_key.crossJoin(F.broadcast(tot))
+            .select("user_id", "cnt", ratio)
+            .orderBy(F.col("cnt").desc(), "user_id").limit(10))
+
+
+@register("user_growth_daily", """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', min(ts))) / 86400 AS BIGINT) AS day
+  FROM events GROUP BY 1
+), new_u AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY 1
+), daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT daily.day, daily.n_events,
+       coalesce(new_u.new_users, 0) AS new_users,
+       CAST(sum(coalesce(new_u.new_users, 0)) OVER (ORDER BY daily.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily LEFT JOIN new_u ON daily.day = new_u.day
+""")
+def user_growth_daily(spark, sf_dir):
+    """Running growth rollup: events per epoch-day, NEW users per day
+    (first-seen via one per-user hash-agg min), and the cumulative
+    user count via a running-sum window.  The cumulative window runs
+    over the model-scale daily table (days, not events), so the
+    single-partition ORDER BY day frame is free; the two corpus-scale
+    stages are plain partial-agg shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    day_of = "timestampdiff(DAY, timestamp'1970-01-01 00:00:00', {})"
+    first_seen = ev.groupBy("user_id").agg(
+        F.expr(day_of.format("min(ts)")).alias("day"))
+    new_u = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    daily = (ev.groupBy(F.expr(day_of.format("ts")).alias("day"))
+             .agg(F.count("*").alias("n_events")))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    nu = F.coalesce("new_users", F.lit(0))
+    return (daily.join(F.broadcast(new_u), "day", "left")
+            .select("day", "n_events", nu.alias("new_users"))
+            .withColumn("cum_users",
+                        F.sum("new_users").over(w).cast("long")))
+
+
 # ===========================================================================
 # shuffle-geometry operators: skew salting, Bloom-gated incremental work
 # ===========================================================================

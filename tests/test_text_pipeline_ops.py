@@ -543,3 +543,53 @@ def test_tfidf_topterms_k_cut_is_deterministic(spark):
     words = sorted(r.word for r in
                    tfidf_topterms(df, k=3).where("doc_id = 1").collect())
     assert words == ["a", "b", "c"]
+
+# ---------------------------------------------------------------------------
+# skew diagnostics + daily growth rollup (planted)
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, d, rows):
+    import os
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string") \
+        .write.parquet(os.path.join(d, "events.parquet"))
+
+
+def test_key_skew_stats_planted(spark, tmp_path):
+    import datetime as dt
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # user 7 is hot: 12 events; users 1-6 get 2 each -> total 24, 7 keys
+    for _ in range(12):
+        rows.append((eid, base, 7, "A", 1.0, "{}")); eid += 1
+    for u in range(1, 7):
+        for _ in range(2):
+            rows.append((eid, base, u, "A", 1.0, "{}")); eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    got = QUERIES["key_skew_stats"]["fn"](spark, str(tmp_path)).collect()
+    assert (got[0].user_id, got[0].cnt) == (7, 12)
+    # hot key carries 12/24 of rows across 7 keys -> 3.5x the mean
+    assert got[0].ratio_e3 == 3500
+    assert all(r.ratio_e3 == 583 for r in got[1:])  # floor(2*7000/24)
+
+
+def test_user_growth_daily_planted(spark, tmp_path):
+    import datetime as dt
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    d0 = dt.datetime(2024, 6, 1, 5)
+    rows = [
+        (1, d0, 10, "A", 1.0, "{}"),                          # u10 new day0
+        (2, d0, 11, "A", 1.0, "{}"),                          # u11 new day0
+        (3, d0 + dt.timedelta(days=1), 10, "A", 1.0, "{}"),   # u10 returns
+        (4, d0 + dt.timedelta(days=2), 12, "A", 1.0, "{}"),   # u12 new day2
+        (5, d0 + dt.timedelta(days=2), 10, "A", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = sorted(QUERIES["user_growth_daily"]["fn"](
+        spark, str(tmp_path)).collect(), key=lambda r: r.day)
+    day0 = got[0].day
+    assert [(r.day - day0, r.n_events, r.new_users, r.cum_users)
+            for r in got] == [(0, 2, 2, 2), (1, 1, 0, 2), (2, 2, 1, 3)]

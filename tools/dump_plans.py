@@ -27,7 +27,8 @@ SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
         "bm25_topk", "dedup_substring_spans", "robots_gate",
         "band_join_error_clicks", "dsir_logweights", "zorder_layout",
         "quality_classifier", "q5_local_supplier_volume", "chunk_overlap",
-        "salted_join_skew", "bloom_gate"]
+        "salted_join_skew", "bloom_gate", "tfidf_topterms",
+        "timeseries_gapfill", "vocab_topk", "sample_weighted_per_lang"]
 
 
 def plan_of(df) -> str:
