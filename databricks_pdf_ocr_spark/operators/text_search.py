@@ -97,6 +97,13 @@ def tfidf_topterms(docs: DataFrame, k: int = 3,
         F.explode(F.split(F.col(text_col), " ")).alias("word"))
     tf = toks.groupBy(id_col, "word").agg(
         F.count("*").cast("double").alias("tf"))
+    # tf feeds BOTH the df aggregation and the scoring join; without a
+    # materialization Catalyst re-derives it from a second corpus
+    # scan+explode (exchange reuse does not fire across the two
+    # different column-pruned branches — verified on the final AQE
+    # plan), doubling the heaviest stage.  localCheckpoint computes the
+    # pair table once; both consumers read the materialized partitions.
+    tf = tf.localCheckpoint()
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0)
