@@ -9,6 +9,7 @@ pipeline runs between extraction and dedup.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import shingles_of, tokens_col
@@ -621,3 +622,39 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
             .cast("long").alias(f"n_{name}"))
         out = F.regexp_replace(out, pat, repl)
     return df.select(F.col(id_col), *counts, out.alias("redacted"))
+
+
+def compression_signal(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       level: int = 6) -> DataFrame:
+    """zlib compressibility as a quality signal (the Gopher/CCNet-family
+    heuristic): highly compressible text is repetitive boilerplate,
+    incompressible text is noise/binary junk — the keep band sits in
+    the middle.  Emits ``(id, n_bytes, comp_bytes, ratio_e6)`` with
+    ``ratio_e6 = comp_bytes * 1e6 div n_bytes`` (exact integer
+    division — engine-portable; zero-byte docs excluded).
+
+    Scale shape: ONE Arrow-vectorized pandas UDF computes the
+    compressed length per batch (compression is genuinely Python —
+    there is no JVM column expression for it); byte length and the
+    ratio stay JVM-side column expressions, so the stage is a narrow
+    projection — no shuffle, text bytes never leave their partition.
+
+    Determinism: zlib output for a fixed level is deterministic within
+    this container (golden and executors share one CPython/zlib build
+    — the committed golden pins exactly that).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level)))
+
+    return (df.filter(F.octet_length(text_col) > 0)
+            .select(F.col(id_col),
+                    F.octet_length(text_col).cast("long").alias("n_bytes"),
+                    comp_len(F.col(text_col)).alias("comp_bytes"))
+            .withColumn("ratio_e6", F.expr(
+                "(comp_bytes * 1000000) div n_bytes")))

@@ -2971,6 +2971,30 @@ def bpe_tokenize(spark, sf_dir):
                      " ").alias("tokens"))
 
 
+@register("compression_quality", """
+SELECT doc_id, n_bytes, comp_bytes, ratio_e6
+FROM read_parquet('/root/repo/tests/data/golden_compression.parquet')
+""")
+def compression_quality(spark, sf_dir):
+    """zlib compressibility quality signal over the deterministic
+    fixture corpus: too compressible = boilerplate, incompressible =
+    junk.  ONE Arrow pandas UDF computes compressed length per batch
+    (no JVM expression can); byte length + the exact-integer ratio are
+    column expressions — the whole stage is a narrow projection.
+
+    Oracle: the identical corpus compressed sequentially with the same
+    CPython zlib (``tools/make_golden_parquet.py::
+    compression_golden_table`` → committed golden) — the ``bpe_tokenize``
+    pattern for kernels a SQL engine cannot recompute."""
+    from . import fixtures
+    from .operators.text_analysis import compression_signal
+
+    rows = list(fixtures.text_corpus_rows(42, 300))
+    corpus = spark.createDataFrame(rows, "doc_id string, text string") \
+        .repartition(8)
+    return compression_signal(corpus, level=6)
+
+
 @register("sample_weighted_topk", """
 WITH scored AS (
   SELECT doc_id, n_chars,

@@ -593,3 +593,35 @@ def test_user_growth_daily_planted(spark, tmp_path):
     day0 = got[0].day
     assert [(r.day - day0, r.n_events, r.new_users, r.cum_users)
             for r in got] == [(0, 2, 2, 2), (1, 1, 0, 2), (2, 2, 1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# zlib compressibility quality signal
+# ---------------------------------------------------------------------------
+
+def test_compression_signal_exact_and_ordered(spark):
+    import zlib
+    from databricks_pdf_ocr_spark.operators.text_analysis import (
+        compression_signal)
+    boiler = "spam ham " * 200                 # highly compressible
+    import hashlib
+    noise = "".join(hashlib.sha256(str(i).encode()).hexdigest()
+                    for i in range(30))        # high entropy, incompressible
+    df = spark.createDataFrame(
+        [(1, boiler), (2, noise), (3, "")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in compression_signal(df).collect()}
+    assert 3 not in rows                        # empty text excluded
+    for did, text in ((1, boiler), (2, noise)):
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert (rows[did].n_bytes, rows[did].comp_bytes) == (len(raw), comp)
+        assert rows[did].ratio_e6 == comp * 1000000 // len(raw)
+    # boilerplate compresses far better than noise
+    assert rows[1].ratio_e6 < rows[2].ratio_e6 // 5
+
+
+def test_compression_golden_is_fresh():
+    import pyarrow.parquet as pq
+    from tools.make_golden_parquet import (
+        COMP_GOLDEN_PATH, compression_golden_table)
+    assert pq.read_table(COMP_GOLDEN_PATH).equals(compression_golden_table())

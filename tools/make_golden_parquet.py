@@ -414,6 +414,38 @@ def jsonl_golden_table() -> pa.Table:
     })
 
 
+COMP_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_compression.parquet"
+
+#: must mirror queries.compression_quality exactly
+COMP_SEED, COMP_DOCS, COMP_LEVEL = 42, 300, 6
+
+
+def compression_golden_table() -> pa.Table:
+    """No-Spark truth for the zlib compressibility signal: the identical
+    fixture corpus compressed sequentially with the same CPython zlib
+    build the executors use (the golden pins the container's zlib —
+    compressed LENGTH for a fixed level is what the signal reads)."""
+    import zlib
+
+    dids, nb, cb, ratio = [], [], [], []
+    for did, text in fixtures.text_corpus_rows(COMP_SEED, COMP_DOCS):
+        raw = text.encode("utf-8")
+        if not raw:
+            continue
+        comp = len(zlib.compress(raw, COMP_LEVEL))
+        dids.append(did)
+        nb.append(len(raw))
+        cb.append(comp)
+        ratio.append(comp * 1000000 // len(raw))
+    return pa.table({
+        "doc_id": pa.array(dids, pa.string()),
+        "n_bytes": pa.array(nb, pa.int64()),
+        "comp_bytes": pa.array(cb, pa.int64()),
+        "ratio_e6": pa.array(ratio, pa.int64()),
+    })
+
+
 def main(argv=None) -> int:
     check = "--check" in (argv or sys.argv[1:])
     for path, table in ((GOLDEN_PATH, golden_table()),
@@ -426,7 +458,8 @@ def main(argv=None) -> int:
                         (PHASH_GOLDEN_PATH, phash_golden_table()),
                         (AHASH_GOLDEN_PATH, ahash_golden_table()),
                         (VHASH_GOLDEN_PATH, vhash_golden_table()),
-                        (JSONL_GOLDEN_PATH, jsonl_golden_table())):
+                        (JSONL_GOLDEN_PATH, jsonl_golden_table()),
+                        (COMP_GOLDEN_PATH, compression_golden_table())):
         if check:
             existing = pq.read_table(path)
             assert existing.equals(table), f"{path} is stale — regenerate"
