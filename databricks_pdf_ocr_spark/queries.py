@@ -922,6 +922,63 @@ def dedup_components(spark, sf_dir):
         F.col("comp").alias("component_id"))
 
 
+@register("dedup_canonical_best", f"""
+WITH RECURSIVE
+vp AS (SELECT * FROM ({_verified_pairs_sql()}) t),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+          UNION SELECT doc_b, doc_a FROM vp),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (
+  SELECT node, min(comp) AS component_id FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT l.component_id, l.node, d.n_chars,
+         row_number() OVER (PARTITION BY l.component_id
+                            ORDER BY d.n_chars DESC, l.node) AS rn,
+         count(*) OVER (PARTITION BY l.component_id) AS n_members
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+)
+SELECT component_id, node AS kept_doc_id, n_chars AS kept_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""")
+def dedup_canonical_best(spark, sf_dir):
+    """Quality-aware canonical selection: within each TRANSITIVE
+    near-dup cluster keep the BEST member (longest text, ties by id) —
+    what production curation wants instead of the min-id label the
+    plain survivor rule keeps (the canonical should be the most
+    complete copy, not the lexicographically smallest).
+
+    Composition: verified LSH pairs → connected components →
+    one equi-join against the per-doc quality column → ONE row_number
+    window per component partition.  Quality here = n_chars; a real
+    ladder plugs quality_score_e6 / token counts through the same
+    argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, k=8, bands=4,
+                                    verify_threshold=0.3)
+    labels = dedup.neardup_components(pairs)
+    w = W.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("kept_doc_id"))
+    members = (labels
+               .select(F.col("node").alias("kept_doc_id"),
+                       F.col("comp").alias("component_id"))
+               .join(docs.select(F.col("doc_id").alias("kept_doc_id"),
+                                 "n_chars"), "kept_doc_id"))
+    return (members
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members",
+                        F.count("*").over(W.partitionBy("component_id"))
+                        .cast("long"))
+            .filter(F.col("rn") == 1)
+            .select("component_id", "kept_doc_id",
+                    F.col("n_chars").alias("kept_chars"), "n_members"))
+
+
 @register("dedup_components_incremental", f"""
 WITH RECURSIVE
 vp AS (SELECT * FROM ({_minhash_sql()}) t),

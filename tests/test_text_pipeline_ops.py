@@ -625,3 +625,23 @@ def test_compression_golden_is_fresh():
     from tools.make_golden_parquet import (
         COMP_GOLDEN_PATH, compression_golden_table)
     assert pq.read_table(COMP_GOLDEN_PATH).equals(compression_golden_table())
+
+
+def test_dedup_canonical_best_keeps_longest(spark, tmp_path):
+    import os
+    from databricks_pdf_ocr_spark.queries import QUERIES
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [
+        (1, base + "tail one", "en", "w", len(base) + 8),
+        (2, base + "tail one two", "en", "w", len(base) + 12),   # longest
+        (3, base, "en", "w", len(base)),
+        (9, "completely different text " * 10, "en", "w", 260),  # no cluster
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint") \
+        .write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    got = QUERIES["dedup_canonical_best"]["fn"](spark, str(tmp_path)).collect()
+    assert len(got) == 1                      # one cluster, doc 9 untouched
+    r = got[0]
+    assert (r.component_id, r.kept_doc_id, r.n_members) == (1, 2, 3)
