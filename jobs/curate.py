@@ -135,9 +135,24 @@ def run_curate(spark, args) -> dict:
     pairs = dedup.minhash_lsh_pairs(exact_kept, hash_mode=args.hash_mode,
                                     verify_threshold=args.neardup_jaccard)
     cc_stats: dict = {}
-    losers = (dedup.neardup_components(pairs, stats=cc_stats)
-              .filter(F.col("comp") != F.col("node"))
-              .select(F.col("node").alias("doc_id")))
+    labels = dedup.neardup_components(pairs, stats=cc_stats)
+    if getattr(args, "canonical", "min") == "best":
+        # keep the BEST member of each cluster (highest quality score,
+        # ties by id) instead of the min-id label — the most complete
+        # copy survives.  One equi-join against the already-computed
+        # features + one row_number window per component partition.
+        from pyspark.sql import Window
+        members = (labels.select(F.col("node").alias("doc_id"), "comp")
+                   .join(exact_kept.select("doc_id", "quality_score_e6"),
+                         "doc_id"))
+        w = Window.partitionBy("comp").orderBy(
+            F.col("quality_score_e6").desc(), F.col("doc_id"))
+        losers = (members.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") > 1).select("doc_id"))
+        extra_stats["canonical"] = "best"
+    else:
+        losers = (labels.filter(F.col("comp") != F.col("node"))
+                  .select(F.col("node").alias("doc_id")))
     neardup_kept = exact_kept.join(losers, "doc_id", "left_anti")
 
     # -- deterministic stratified sample by predicted language ---------------
@@ -204,6 +219,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exact-Jaccard verification threshold for LSH "
                          "candidate pairs (docs are only dropped on "
                          "verified pairs)")
+    ap.add_argument("--canonical", default="min", choices=["min", "best"],
+                    help="near-dup cluster survivor rule: min = component "
+                         "label (min id), best = highest quality score "
+                         "(ties by id)")
     ap.add_argument("--pack-seq-len", type=int, default=0,
                     help="also emit the concat-and-chop sequence-packing "
                          "plan at this token length (0 = off); written to "

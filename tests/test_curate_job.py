@@ -155,3 +155,33 @@ def test_curate_learned_gate_and_dsir_stages(spark, curated_env):
     b = sorted(r["doc_id"] for r in
                spark.read.parquet(out + "_ds2").select("doc_id").collect())
     assert a == b and ds2["docs"] == ds["docs"]
+
+
+def test_curate_canonical_best_keeps_highest_quality(spark, tmp_path):
+    """--canonical best keeps the highest-quality cluster member even
+    when it has the LARGER id (the min-label rule would drop it)."""
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+
+    base = ("the cat and the dog went to the market and it was a fine "
+            "day for all of them to walk in the sun ") * 4
+    span = "array(named_struct('kind', 'text', 'text', {t}, " \
+           "'media_ref', cast(null as string), 'offset', 0L))"
+    df = spark.createDataFrame(
+        [("aaaa01", base + " ; : ! ? . , ; : ! ? . , ; : ! ? . ,"),
+         ("bbbb02", base)],                     # clean copy, larger id
+        "doc_id string, text string")
+    extracted = df.selectExpr("doc_id", span.format(t="text") + " AS spans")
+    tables = str(tmp_path / "tables")
+    TableIO(spark, tables).overwrite(extracted, "extracted_documents")
+
+    def kept(extra):
+        out = str(tmp_path / ("out_" + extra[-1].replace("=", ""))) \
+            if extra else str(tmp_path / "out_min")
+        args = curate.build_parser().parse_args(
+            ["--tables", tables, "--out", out] + extra)
+        curate.run_curate(spark, args)
+        return {r.doc_id for r in
+                spark.read.parquet(out).select("doc_id").collect()}
+
+    assert kept([]) == {"aaaa01"}                        # min-id rule
+    assert kept(["--canonical", "best"]) == {"bbbb02"}   # quality rule
