@@ -80,6 +80,41 @@ def pagerank(edges: DataFrame, d: float = 0.85, iters: int = 3
     return ranks
 
 
+#: absolute-href anchor pattern with BOTH the host and the inner text as
+#: capture groups — Spark extracts each group in its own
+#: ``regexp_extract_all`` pass (same pattern → same match list → positional
+#: ``arrays_zip`` pairing is exact); must match tools/make_golden_parquet.py
+ANCHOR_RE = (r"(?is)<a\s[^>]*?href\s*=\s*[\"']https?://([^/\"'>]+)"
+             r"[^>]*>(.*?)</a>")
+
+
+def anchor_texts(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Anchor-text aggregation: the text the WEB uses to link to a host
+    (a classic relevance/description signal for crawl curation — anchor
+    words describe the *target*, not the page they sit on).  Returns
+    ``(dst_host, anchor, n)`` counts over absolute ``<a href>`` anchors
+    in html spans, inner markup stripped and whitespace-collapsed.
+
+    Scale shape: pure JVM narrow path — two ``regexp_extract_all``
+    passes over the same pattern zipped positionally, one explode, one
+    hash-agg.  No UDF, no shuffle before the final count."""
+    host = F.regexp_extract_all(F.col("s.text"), F.lit(ANCHOR_RE), 1)
+    txt = F.regexp_extract_all(F.col("s.text"), F.lit(ANCHOR_RE), 2)
+    anchor = F.lower(F.trim(F.regexp_replace(F.regexp_replace(
+        F.col("a.txt"), F.lit(r"<[^>]*>"), F.lit(" ")),
+        F.lit(r"\s+"), F.lit(" "))))
+    return (docs
+            .select(F.explode(spans_col).alias("s"))
+            .filter(F.col("s.kind") == "html")
+            .select(F.explode(F.arrays_zip(host.alias("host"),
+                                           txt.alias("txt"))).alias("a"))
+            .select(F.lower("a.host").alias("dst_host"),
+                    anchor.alias("anchor"))
+            .filter(F.col("anchor") != "")
+            .groupBy("dst_host", "anchor")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization + host blocklists (crawl-frontier hygiene)
 # ---------------------------------------------------------------------------

@@ -2079,6 +2079,32 @@ def warc_outlink_hosts(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_links")))
 
 
+@register("warc_anchor_text", """
+SELECT dst_host, anchor, n
+FROM read_parquet('/root/repo/tests/data/golden_warc_anchors.parquet')
+""")
+def warc_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation over the crawl corpus: the words the web
+    uses to LINK to each host — a target-side relevance/description
+    signal every web-corpus curation ladder keeps (anchor text describes
+    the destination, not the page it sits on).  Pure JVM narrow path:
+    two ``regexp_extract_all`` group passes zipped positionally, one
+    explode, one hash-agg — no UDF.
+
+    Oracle: Python ``re`` over the single-process golden documents
+    (independent regex engine + counting), committed as parquet."""
+    from . import fixtures
+    from .operators.linkgraph import anchor_texts
+    from .sources import warc as warc_src
+
+    segs = fixtures.warc_corpus_segments(seed=42, n_segments=6)
+    files = spark.createDataFrame(
+        [(f"mem:seg-{i:05d}.warc.gz", b) for i, b in enumerate(segs)],
+        "path string, content binary").repartition(4)
+    docs = warc_src.warc_to_documents(warc_src.warc_records(files))
+    return anchor_texts(docs)
+
+
 def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
     """DuckDB recomputes the SAME fixed-iteration power method from the
     committed edge-list golden (chained CTEs, one per iteration)."""

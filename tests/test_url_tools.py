@@ -97,3 +97,23 @@ def test_frontier_schedule_politeness_invariant(spark):
                       for w in waves]
         for w in range(1, len(waves)):
             assert best_next[w] <= worst_prev[w - 1]
+
+
+def test_anchor_texts_pairing_and_normalization(spark):
+    """Two-group extraction stays positionally paired; inner markup is
+    stripped, whitespace collapsed, case folded; relative hrefs and
+    empty anchors are dropped."""
+    html = ("<p><a href='http://A.example/x'>First  <b>Link</b></a> "
+            "<a href=\"https://b.example/y?z=1\">second\n link</a> "
+            "<a href='/relative'>skip me</a> "
+            "<a href='http://a.example/z'><img src='i.png'></a> "
+            "<a href='http://a.example/w'>first link</a></p>")
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "html", "text": html,
+                  "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    got = {(r["dst_host"], r["anchor"]): r["n"]
+           for r in linkgraph.anchor_texts(docs).collect()}
+    assert got == {("a.example", "first link"): 2,
+                   ("b.example", "second link"): 1}

@@ -192,6 +192,37 @@ def warc_outlinks_golden_table() -> pa.Table:
     })
 
 
+ANCHOR_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_warc_anchors.parquet"
+
+
+def warc_anchors_golden_table() -> pa.Table:
+    """Independent truth for the anchor-text operator: Python ``re``
+    over the single-process documents rows (vs Spark's JVM regex in the
+    query) — (dst_host, normalized anchor text) → count."""
+    import re
+    from collections import Counter
+
+    from databricks_pdf_ocr_spark.operators.linkgraph import ANCHOR_RE
+
+    counts: Counter = Counter()
+    for _did, spans in warc_golden_rows():
+        for s in spans:
+            if s["kind"] != "html":
+                continue
+            for host, txt in re.findall(ANCHOR_RE, s["text"]):
+                anchor = re.sub(r"\s+", " ",
+                                re.sub(r"<[^>]*>", " ", txt)).strip().lower()
+                if anchor:
+                    counts[(host.lower(), anchor)] += 1
+    keys = sorted(counts)
+    return pa.table({
+        "dst_host": pa.array([k[0] for k in keys], pa.string()),
+        "anchor": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
 LINKGRAPH_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
     "data" / "golden_warc_linkgraph.parquet"
 
@@ -452,6 +483,7 @@ def main(argv=None) -> int:
                         (PDFIMG_GOLDEN_PATH, pdf_images_golden_table()),
                         (WARC_GOLDEN_PATH, warc_golden_table()),
                         (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table()),
+                        (ANCHOR_GOLDEN_PATH, warc_anchors_golden_table()),
                         (LINKGRAPH_GOLDEN_PATH,
                          warc_linkgraph_golden_table()),
                         (BPE_GOLDEN_PATH, bpe_golden_table()),
