@@ -323,6 +323,71 @@ def sessionize(spark, sf_dir):
             .agg(F.countDistinct("session_id").cast("long").alias("n_sessions")))
 
 
+@register("scd2_history", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS state,
+       epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS valid_from_us,
+       lead(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+FROM changes
+""")
+def scd2_history(spark, sf_dir):
+    """SCD2 history build — the classic warehouse type-2 dimension: per
+    user, collapse consecutive identical states (ordered by ts with
+    event_id tiebreak), emit [valid_from, valid_to) intervals, open
+    interval = current state.  Two window passes over the SAME partition
+    key and sort order — the change-filter preserves partitioning AND
+    ordering, so Catalyst reuses one exchange+sort for both (no second
+    shuffle at 100 TB).  Epoch-micros via timestampdiff (TIMESTAMP_NTZ
+    won't cast to long)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01', ts)")
+    changes = (ev.withColumn("prev", F.lag("event_type").over(w))
+               .filter(F.col("prev").isNull()
+                       | (F.col("prev") != F.col("event_type"))))
+    return (changes.withColumn("valid_from_us", t_us)
+            .withColumn("valid_to_us", F.lead("valid_from_us").over(w))
+            .select("user_id", F.col("event_type").alias("state"),
+                    "valid_from_us", "valid_to_us"))
+
+
+@register("histogram_numeric", """
+WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders, mm GROUP BY 1
+""")
+def histogram_numeric(spark, sf_dir):
+    """Equi-width histogram profiling (20 buckets over the global
+    [min, max]) — the data-profiling primitive behind distribution
+    drift checks.  Two-phase: a mergeable min/max partial agg collapses
+    to ONE row, broadcast back over the fact scan, then a 20-key
+    hash-agg.  Bucket arithmetic is the same IEEE double ops on both
+    engines (sub/div/floor are exactly-rounded → bit-identical), so no
+    float-parity scaling is needed."""
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("lo"),
+               F.max("o_totalprice").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(19)).cast("long")
+    return (o.join(F.broadcast(mm))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
 @register("rollup_revenue", """
 SELECT coalesce(r_name, '<all>') AS region_name,
        coalesce(n_name, '<all>') AS nation_name,
