@@ -2831,6 +2831,78 @@ def bm25_topk(spark, sf_dir):
     return text_search.bm25_topk(docs, ["hash", "join", "window"], k=20)
 
 
+@register("rrf_fusion", f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+         CAST(any_value(dl) AS DOUBLE) AS dl
+  FROM toks WHERE term IN ('hash', 'join', 'window') GROUP BY 1, 2),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(string_split(lower(text), ' '))) AS avgdl
+          FROM documents),
+bm AS (
+  SELECT doc_id,
+         CAST(floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ) * 1e4 + 0.5) AS BIGINT) AS score_e4
+  FROM tf JOIN dfs USING (term), stats GROUP BY doc_id
+  ORDER BY score_e4 DESC, doc_id LIMIT 20),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS r
+        FROM bm),
+cos AS (SELECT b.vec_id AS doc_id, round({_COS}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id = 0 AND b.vec_id <> 0),
+sem AS (SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+        FROM cos ORDER BY r LIMIT 20)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       CAST(floor((coalesce(1e0 / (60 + l.r), 0e0)
+                 + coalesce(1e0 / (60 + s.r), 0e0)) * 1e6 + 0.5)
+            AS BIGINT) AS rrf_e6
+FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_e6 DESC, doc_id LIMIT 10
+""")
+def rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60, the Cormack et
+    al. constant) of the BM25 lexical top-20 and the embedding cosine
+    top-20 (query = vec 0; doc_id and vec_id share one id space) —
+    the standard way modern retrieval/curation stacks combine keyword
+    and semantic signals without score calibration.
+
+    Scale shape: each ranking is the already-proven operator (postings
+    pruned before the shuffle; corpus scanned once with the query side
+    broadcast); the fusion itself joins two ≤k control-plane lists —
+    the global row_number windows run on ≤20 rows, never on data-plane
+    cardinality.  1/(60+r) uses double literals on both engines (DuckDB
+    1.0 is DECIMAL — a decimal/double ulp flip at the floor boundary);
+    each doc sums ≤2 terms so addition order is fixed."""
+    from .operators import text_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = (text_search.bm25_topk(docs, ["hash", "join", "window"], k=20)
+           .withColumn("lr", F.row_number().over(
+               W.orderBy(F.desc("score_e4"), F.asc("doc_id"))))
+           .select("doc_id", "lr"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    sem = (similarity.brute_force_topk(emb, q, k=20)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("sr")))
+    rrf = (F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+           + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("sr")),
+                        F.lit(0.0)))
+    return (lex.join(sem, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.floor(rrf * 1e6 + 0.5).cast("long").alias("rrf_e6"))
+            .orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(10))
+
+
 _SUBSTR_BP = ("subscribe to our newsletter for daily updates about engine "
               "internals and careful query plan tuning")   # 16 tokens
 
