@@ -80,6 +80,38 @@ def pagerank(edges: DataFrame, d: float = 0.85, iters: int = 3
     return ranks
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-host triangle participation over the (src_host, dst_host)
+    link graph, direction ignored — the local clustering signal that
+    separates organic site neighborhoods from link farms (spam rings
+    are triangle-dense).  Returns ``(host, n_triangles)``.
+
+    Shape: canonicalize to undirected a<b edges (one projection + one
+    distinct), then the standard two-join triangle enumeration with the
+    a<b<c total order so each triangle is counted exactly once.  All
+    joins are host-key equi-joins on the HOST graph (control-plane
+    scale, like ``pagerank``); at web scale the classic refinement is
+    degree-ordered orientation, which this a<b<c ordering approximates."""
+    und = (edges
+           .select(F.least("src_host", "dst_host").alias("a"),
+                   F.greatest("src_host", "dst_host").alias("b"))
+           .filter(F.col("a") < F.col("b"))
+           .distinct().localCheckpoint())
+    paths = (und.alias("e1")
+             .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+             .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                     F.col("e2.b").alias("c")))
+    tri = (paths.alias("p")
+           .join(und.alias("e3"),
+                 (F.col("p.a") == F.col("e3.a"))
+                 & (F.col("p.c") == F.col("e3.b")))
+           .select("p.a", "p.b", "p.c"))
+    verts = (tri.select(F.col("a").alias("host"))
+             .unionByName(tri.select(F.col("b").alias("host")))
+             .unionByName(tri.select(F.col("c").alias("host"))))
+    return verts.groupBy("host").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 #: absolute-href anchor pattern with BOTH the host and the inner text as
 #: capture groups — Spark extracts each group in its own
 #: ``regexp_extract_all`` pass (same pattern → same match list → positional

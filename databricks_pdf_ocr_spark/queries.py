@@ -388,6 +388,117 @@ def histogram_numeric(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
 
 
+@register("graph_triangles", """
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents) WHERE term <> ''),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dt),
+e AS (SELECT a.term AS a, b.term AS b, count(*) AS nco
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2),
+und AS (SELECT a, b FROM e, nd WHERE nco >= 0.63 * n),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM und e1 JOIN und e2 ON e1.b = e2.a
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+verts AS (SELECT a AS term FROM tri UNION ALL
+          SELECT b FROM tri UNION ALL SELECT c FROM tri)
+SELECT term, CAST(count(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY term
+""")
+def graph_triangles(spark, sf_dir):
+    """Triangle participation per node over the term co-occurrence
+    graph (edge = pair co-occurring in ≥63% of documents) — the local
+    clustering signal graph curation uses to separate organic
+    neighborhoods from spam rings.  Two distinct scale shapes proven
+    here: (1) pair generation is NARROW — an index-aware ``transform``
+    over the per-doc distinct-term array (materialized in its own
+    projection first; HOF lambda bodies re-evaluate inlined expressions
+    per element) emits each a<b pair with zero joins, so the only
+    pre-edge shuffle is the count hash-agg; vocabulary is bounded
+    (top-V heavy hitters in production), keeping fan-out O(V²) per doc;
+    (2) triangle enumeration via the a<b<c total order counts each
+    triangle once, on the TERM graph (control-plane scale)."""
+    from .operators import linkgraph
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.filter(
+            F.split(F.lower("text"), " "),
+            lambda x: x != F.lit("")))).alias("t"))
+    n_docs = (terms.filter(F.size("t") > 0)
+              .agg(F.countDistinct("doc_id").alias("n")))
+    pairs = (terms.select(F.explode(F.flatten(F.expr(
+        "transform(t, (x, i) -> transform(slice(t, i + 2, size(t)), "
+        "y -> struct(x AS a, y AS b)))"))).alias("p"))
+        .select("p.a", "p.b"))
+    edges = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nco"))
+             .join(F.broadcast(n_docs))
+             .filter(F.col("nco") >= F.lit(0.63) * F.col("n"))
+             .select(F.col("a").alias("src_host"),
+                     F.col("b").alias("dst_host")))
+    return (linkgraph.triangle_counts(edges)
+            .select(F.col("host").alias("term"),
+                    F.col("n_triangles").cast("long").alias("n_triangles")))
+
+
+@register("profile_correlations", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_discount, l_extendedprice), 4) AS corr_disc_price,
+       round(covar_samp(l_quantity, l_tax), 4) AS covar_qty_tax,
+       round(stddev_samp(l_extendedprice), 2) AS stddev_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def profile_correlations(spark, sf_dir):
+    """Column-pair relationship profiling: Pearson correlation, sample
+    covariance, and stddev per return-flag stratum — the drift /
+    feature-redundancy screen of a data-quality suite.  All four are
+    single-pass MERGEABLE moment aggregates (sum, sum-of-squares,
+    co-moments) — one partial+final hash-agg, no second scan, no sort;
+    rounded to absorb cross-engine summation-order ulps."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+        .alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 4)
+        .alias("corr_disc_price"),
+        F.round(F.covar_samp("l_quantity", "l_tax"), 4)
+        .alias("covar_qty_tax"),
+        F.round(F.stddev_samp("l_extendedprice"), 2)
+        .alias("stddev_price")))
+
+
+@register("length_buckets", """
+WITH bucketed AS (
+  SELECT doc_id, n_chars,
+         ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+  FROM documents)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM bucketed GROUP BY bucket
+""")
+def length_buckets(spark, sf_dir):
+    """Length-quantile batching: ntile(8) over document length — the
+    bucketing a training pipeline uses to group similar-length docs so
+    packed batches waste minimal padding.  Deterministic via the
+    (n_chars, doc_id) total order.  The global ntile is a single-
+    partition sort at this shape — at 100 TB the equivalent plan is
+    rangepartition + percent_rank (sampled range boundaries, no global
+    funnel); documented trade-off, ntile chosen here because the OUTPUT
+    contract (exactly-equal bucket sizes) is what packing wants."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select("doc_id", "n_chars",
+                    F.ntile(8).over(
+                        W.orderBy("n_chars", "doc_id")).alias("bucket"))
+    return (b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars")))
+
+
 @register("rollup_revenue", """
 SELECT coalesce(r_name, '<all>') AS region_name,
        coalesce(n_name, '<all>') AS nation_name,
