@@ -360,6 +360,111 @@ def scd2_history(spark, sf_dir):
                     "valid_from_us", "valid_to_us"))
 
 
+@register("event_funnel", """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase
+""")
+def event_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-that) — the product-analytics staple, with real
+    ORDER semantics (each stage's earliest qualifying time gates the
+    next), not mere per-type existence.  Three conditional min-aggs
+    chained by user_id equi-joins: every stage keys on user_id, so one
+    hash partitioning serves the whole chain (no re-shuffle), and each
+    stage's output is strictly smaller than the last."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.filter(F.col("event_type") == "click").join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (s1.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .crossJoin(s3.agg(F.count(F.lit(1))
+                              .alias("n_view_click_purchase"))))
+
+
+@register("cohort_retention", """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', min(ts)) / 7)
+              AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', TIMESTAMP '2024-01-01', e.ts) / 7)
+              AS BIGINT) - f.cohort_week AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+""")
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, then
+    distinct active users per (cohort_week, week_offset) — the
+    retention triangle every growth dashboard reads.  Shape: one
+    per-user min hash-agg, one user-key equi-join back over events
+    (same partitioning, reused), one distinct + hash-agg; week ids are
+    integer day arithmetic (timestampdiff — NTZ-safe, no TZ/DST
+    semantics smuggled in)."""
+    ev = _t(spark, sf_dir, "events")
+    week = (F.floor(F.expr(
+        "timestampdiff(DAY, TIMESTAMP '2024-01-01', ts)") / 7)
+        .cast("long"))
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min("ts").alias("first_ts"))
+              .select("user_id", F.floor(F.expr(
+                  "timestampdiff(DAY, TIMESTAMP '2024-01-01', first_ts)")
+                  / 7).cast("long").alias("cohort_week")))
+    return (ev.select("user_id", week.alias("wk"))
+            .join(firsts, "user_id")
+            .select("user_id", "cohort_week",
+                    (F.col("wk") - F.col("cohort_week"))
+                    .alias("week_offset"))
+            .distinct()
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+
+
+@register("event_transitions", """
+WITH nxt AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def event_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: (event_type →
+    next_event_type) counts per user session stream — the Markov-chain
+    statistics behind path/Sankey analysis.  One window (user_id
+    partitioning, ts+event_id total order) + one small hash-agg; the
+    transition matrix is |types|² = control-plane sized."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("event_type",
+                      F.lead("event_type").over(w).alias("next_type"))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy("event_type", "next_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
 @register("histogram_numeric", """
 WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
             FROM orders)
