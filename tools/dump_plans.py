@@ -28,7 +28,9 @@ SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
         "band_join_error_clicks", "dsir_logweights", "zorder_layout",
         "quality_classifier", "q5_local_supplier_volume", "chunk_overlap",
         "salted_join_skew", "bloom_gate", "tfidf_topterms",
-        "timeseries_gapfill", "vocab_topk", "sample_weighted_per_lang"]
+        "timeseries_gapfill", "vocab_topk", "sample_weighted_per_lang",
+        "scd2_history", "graph_triangles", "rrf_fusion", "event_funnel",
+        "histogram_numeric"]
 
 
 def plan_of(df) -> str:
