@@ -604,6 +604,115 @@ def length_buckets(spark, sf_dir):
         F.max("n_chars").cast("long").alias("max_chars")))
 
 
+@register("quality_percentile", """
+SELECT doc_id, lang,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+         AS len_pctile
+FROM documents
+""")
+def quality_percentile(spark, sf_dir):
+    """Per-stratum percentile normalization (percent_rank of document
+    length within language) — the rank transform that makes
+    heterogeneous quality signals comparable before blending.  One
+    window per lang partition; ties share a rank so no tiebreak column
+    is needed for determinism; (rank-1)/(n-1) is one exact-rounded
+    division on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars")
+    return docs.select("doc_id", "lang",
+                       F.round(F.percent_rank().over(w), 6)
+                       .alias("len_pctile"))
+
+
+@register("table_checksum", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(('0x' || substr(sha256(
+         CAST(o_orderkey AS VARCHAR) || '|' ||
+         CAST(o_custkey AS VARCHAR) || '|' ||
+         o_orderstatus || '|' || o_orderpriority || '|' ||
+         CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         || '|' ||
+         CAST(epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1970-01-01')
+              AS VARCHAR)), 1, 15)) AS BIGINT)) AS checksum
+FROM orders
+""")
+def table_checksum(spark, sf_dir):
+    """Order-insensitive table fingerprint: XOR of per-row sha2 hashes
+    (60-bit prefix) + row count — the replication/migration integrity
+    check that never sorts.  XOR is commutative/associative → one
+    mergeable partial agg, no global ordering, no overflow; doubles and
+    timestamps enter the hash as scaled integers (engine-stable
+    rendering), the same sha2-prefix recipe as the hash samplers."""
+    o = _t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"), F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        .cast("string"),
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01', "
+               "o_orderdate)").cast("string"))
+    h = F.expr(f"cast(conv(substr(sha2({'_rs'}, 256), 1, 15), 16, 10) "
+               "as bigint)")
+    return (o.select(row_str.alias("_rs"))
+            .select(h.alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.expr("bit_xor(h)").alias("checksum")))
+
+
+@register("snapshot_diff", """
+WITH old AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN CAST(floor((o_totalprice + 1.0) * 100 + 0.5) AS BIGINT)
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         END AS v
+  FROM orders WHERE o_orderkey % 101 <> 0)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN new.o_orderkey IS NULL THEN 'deleted'
+            WHEN old.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'modified' END AS status
+FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.v <> new.v
+""")
+def snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (CDC backstop): full-outer join of two
+    table snapshots on the key, comparing a scaled value hash — emits
+    only the delta rows (inserted / deleted / modified), the
+    anti-entropy sweep replication systems run.  The planted delta
+    (every 97th key modified, every 101st deleted) exercises all
+    branches deterministically.  Shape: one key equi-join; at 100 TB
+    both snapshots bucket on the key (SMB — see write_bucketed) so the
+    diff is exchange-free; output is delta-bounded, never
+    corpus-bounded."""
+    o = _t(spark, sf_dir, "orders")
+    v = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v_new = F.floor((F.col("o_totalprice") + 1.0) * 100
+                    + F.lit(0.5)).cast("long")
+    old = o.select("o_orderkey", v.alias("v"))
+    new = (o.filter(F.col("o_orderkey") % 101 != 0)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 97 == 0, v_new)
+                   .otherwise(v).alias("v")))
+    j = (old.alias("o").join(new.alias("n"),
+                             F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                             "full_outer"))
+    return (j.filter(F.col("o.o_orderkey").isNull()
+                     | F.col("n.o_orderkey").isNull()
+                     | (F.col("o.v") != F.col("n.v")))
+            .select(F.coalesce("o.o_orderkey", "n.o_orderkey")
+                    .alias("o_orderkey"),
+                    F.when(F.col("n.o_orderkey").isNull(), "deleted")
+                    .when(F.col("o.o_orderkey").isNull(), "inserted")
+                    .otherwise("modified").alias("status")))
+
+
 @register("rollup_revenue", """
 SELECT coalesce(r_name, '<all>') AS region_name,
        coalesce(n_name, '<all>') AS nation_name,
