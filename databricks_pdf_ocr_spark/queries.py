@@ -713,6 +713,63 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("cube_status_priority", """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_status_priority(spark, sf_dir):
+    """CUBE aggregate — all 2² grouping-set combinations in one pass;
+    Catalyst expands to a single Aggregate over an Expand (×4 row
+    replication bounded by the cube arity, partial agg before the one
+    shuffle), never four scans.  grouping() flags disambiguate real
+    NULLs from subtotal rows, same contract as rollup_revenue."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.grouping("o_orderstatus") * 2
+         + F.grouping("o_orderpriority")).cast("long").alias("gid"))
+        .select(F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("<all>"))
+                .alias("priority"),
+                "revenue", "n_orders", "gid"))
+
+
+@register("unpivot_measures", """
+SELECT l_returnflag, measure, round(sum(value), 2) AS total
+FROM (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+GROUP BY l_returnflag, measure
+""")
+def unpivot_measures(spark, sf_dir):
+    """Wide→long melt (UNPIVOT) + re-aggregate — the reshape feeding
+    per-measure dashboards and drift monitors.  Spark's native
+    ``unpivot`` compiles to ONE Expand over a single scan (×m row
+    replication, partial agg before the shuffle) — the oracle's
+    UNION-ALL formulation would scan the table m times."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure", valueColumnName="value")
+    name = (F.when(F.col("measure") == "l_quantity", "quantity")
+            .when(F.col("measure") == "l_extendedprice", "extendedprice")
+            .otherwise("discount"))
+    return (long.select("l_returnflag", name.alias("measure"), "value")
+            .groupBy("l_returnflag", "measure")
+            .agg(F.round(F.sum("value"), 2).alias("total")))
+
+
 @register("rollup_revenue", """
 SELECT coalesce(r_name, '<all>') AS region_name,
        coalesce(n_name, '<all>') AS nation_name,
