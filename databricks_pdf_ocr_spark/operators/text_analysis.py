@@ -603,7 +603,8 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def pii_redact(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               replace_text: bool = False) -> DataFrame:
     """Scrub PII before training: replace emails, dotted-quad IPs and
     phone numbers with typed placeholder tokens, and count what was
     removed per class (the audit columns a compliance review needs).
@@ -613,6 +614,12 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
     then phones.  Counts are taken on the ORIGINAL text.  Pure JVM
     column expressions — ``regexp_extract_all`` + chained
     ``regexp_replace`` — zero Python in the hot path, no shuffle at all.
+
+    ``replace_text=True`` keeps EVERY input column and swaps the text
+    column for its redacted form in place (plus the audit counts) — the
+    in-pipeline form (``jobs/curate.py --redact-pii``) that avoids a
+    join-back shuffle; the default narrow (id, counts, redacted)
+    projection is the standalone/audit form the oracle checks.
     """
     out = F.col(text_col)
     counts = []
@@ -621,6 +628,9 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
             F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
             .cast("long").alias(f"n_{name}"))
         out = F.regexp_replace(out, pat, repl)
+    if replace_text:
+        others = [c for c in df.columns if c != text_col]
+        return df.select(*others, *counts, out.alias(text_col))
     return df.select(F.col(id_col), *counts, out.alias("redacted"))
 
 

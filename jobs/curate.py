@@ -166,6 +166,13 @@ def run_curate(spark, args) -> dict:
     else:
         sampled = neardup_kept
 
+    # -- optional PII scrub: swap text for its redacted form IN PLACE
+    # (one narrow select, no join-back shuffle) with per-class audit
+    # counts riding along into the output table
+    if getattr(args, "redact_pii", False):
+        sampled = text_analysis.pii_redact(sampled, replace_text=True)
+        extra_stats["redact_pii"] = True
+
     from pyspark.sql import Observation
     obs = Observation("curate")
     sampled = sampled.observe(
@@ -223,6 +230,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="near-dup cluster survivor rule: min = component "
                          "label (min id), best = highest quality score "
                          "(ties by id)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/IPs/phones from the curated text "
+                         "in place (audit counts n_email/n_ip/n_phone "
+                         "ride along in the output table)")
     ap.add_argument("--pack-seq-len", type=int, default=0,
                     help="also emit the concat-and-chop sequence-packing "
                          "plan at this token length (0 = off); written to "

@@ -185,3 +185,28 @@ def test_curate_canonical_best_keeps_highest_quality(spark, tmp_path):
 
     assert kept([]) == {"aaaa01"}                        # min-id rule
     assert kept(["--canonical", "best"]) == {"bbbb02"}   # quality rule
+
+
+def test_curate_redact_pii_swaps_text_in_place(spark, tmp_path):
+    """--redact-pii scrubs the curated text (no join-back: text column
+    replaced in the final select) and lands the audit counts."""
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+
+    body = ("write to ops@example.com or 10.0.0.1 about the batch " +
+            "the cat and the dog went to the market on a fine day " * 3)
+    span = "array(named_struct('kind', 'text', 'text', '{t}', " \
+           "'media_ref', cast(null as string), 'offset', 0L))"
+    df = spark.createDataFrame([("r1",)], "doc_id string")
+    extracted = df.selectExpr("doc_id", span.format(t=body) + " AS spans")
+    tables = str(tmp_path / "tables")
+    TableIO(spark, tables).overwrite(extracted, "extracted_documents")
+
+    out = str(tmp_path / "out")
+    args = curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out, "--redact-pii"])
+    stats = curate.run_curate(spark, args)
+    assert stats["redact_pii"] is True and stats["docs"] == 1
+    row = spark.read.parquet(out).collect()[0]
+    assert "<EMAIL>" in row.text and "<IP>" in row.text
+    assert "ops@example.com" not in row.text
+    assert row.n_email == 1 and row.n_ip == 1 and row.n_phone == 0
