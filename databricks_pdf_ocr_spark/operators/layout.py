@@ -131,3 +131,42 @@ SELECT CAST(floor((rn - 1) / {float(rows_per_file)}) AS BIGINT) AS file_id,
        CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
 FROM ranked GROUP BY 1
 """
+
+
+def assign_dense_ids(df: DataFrame, order_col: str, n_parts: int = 8,
+                     out_col: str = "row_id") -> DataFrame:
+    """Dense 0..n-1 ids in ``order_col`` order WITHOUT a global sort
+    funnel — the distributed answer to ``row_number() OVER (ORDER BY
+    …)`` (embedding-matrix row ids, token-offset bases, file-split
+    manifests all want this).
+
+    Two-phase: ``repartitionByRange(order_col)`` (Spark's sampled range
+    exchange) gives ordered, non-overlapping partitions; per-partition
+    counts collect to the driver (≤ n_parts control-plane ints), their
+    exclusive prefix sums broadcast back as each partition's id offset;
+    within a partition ids are a LOCAL row_number.  The id values are a
+    pure function of the ``order_col`` total order — the sampled range
+    boundaries shift the split points, never the ids — so results are
+    deterministic across runs, engines, and cluster sizes (oracle:
+    ``row_number() OVER (ORDER BY …) - 1``).  Requires unique
+    ``order_col`` values (ties across a range boundary would make the
+    order — and any engine's row_number — ambiguous anyway)."""
+    ranged = (df.repartitionByRange(n_parts, F.col(order_col))
+              .withColumn("_pid", F.spark_partition_id()))
+    ranged = ranged.localCheckpoint()   # pin partitioning: counts and the
+    # numbering pass below must see the SAME exchange, not re-sample it
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(*[F.lit(v) for kv in sorted(offsets.items())
+                         for v in kv])
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (ranged
+            .withColumn(out_col,
+                        (F.row_number().over(w) - 1
+                         + F.element_at(off, F.col("_pid"))).cast("long"))
+            .drop("_pid"))

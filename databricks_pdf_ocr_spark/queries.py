@@ -713,6 +713,26 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("dense_ids", """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+""")
+def dense_ids(spark, sf_dir):
+    """Dense 0..n-1 id assignment in doc_id order WITHOUT the global
+    single-partition sort the naive row_number plan funnels through —
+    range exchange → per-partition counts (≤ n_parts control-plane ints
+    collected) → exclusive prefix-sum offsets broadcast back → local
+    row_number + offset.  Ids are a pure function of the total order
+    (sampled range boundaries move split points, never ids), so the
+    plain-window DuckDB oracle reproduces them exactly."""
+    from .operators.layout import assign_dense_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_dense_ids(docs.select("doc_id"), "doc_id") \
+        .select("doc_id", "row_id")
+
+
 @register("cube_status_priority", """
 SELECT coalesce(o_orderstatus, '<all>') AS status,
        coalesce(o_orderpriority, '<all>') AS priority,

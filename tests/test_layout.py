@@ -34,3 +34,20 @@ def test_zorder_files_are_aligned_blocks(spark):
         assert f["n_rows"] == 64
         assert f["max_x"] - f["min_x"] == 7
         assert f["max_y"] - f["min_y"] == 7
+
+
+def test_dense_ids_match_global_order_on_skewed_input(spark):
+    """Ids are exactly row_number-1 in key order regardless of how the
+    sampled range boundaries split a skewed key distribution."""
+    import random
+    rng = random.Random(7)
+    # heavy repetition region + sparse tail: range partitions end up
+    # uneven, offsets must still compose to the exact global order
+    keys = sorted({f"k{rng.randrange(10_000):05d}" for _ in range(3_000)})
+    rng.shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k string") \
+        .repartition(13)
+    got = {r["k"]: r["row_id"] for r in
+           layout.assign_dense_ids(df, "k", n_parts=5).collect()}
+    expect = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == expect
