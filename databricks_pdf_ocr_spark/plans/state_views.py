@@ -58,6 +58,17 @@ def latest_results(results: DataFrame) -> DataFrame:
             .drop("__mx"))
 
 
+def results_as_of(results: DataFrame, run_seq: int) -> DataFrame:
+    """Time travel over the append-only results log: the table state AS
+    OF run ordinal ``run_seq`` — the Iceberg/Delta snapshot-read
+    equivalent this engine gets for free from never updating in place.
+    One partition-pruning-friendly filter (``run_seq`` is a plain
+    column; on a run-partitioned layout it prunes files) composed with
+    the same latest-wins window as the current-state read — no second
+    code path to trust."""
+    return latest_results(results.filter(F.col("run_seq") <= run_seq))
+
+
 def latest_run_config(checkpoint: DataFrame) -> DataFrame:
     """Newest config blob per input fingerprint (reference: the
     'configuration' JSON column, ``managers/state.py:36``)."""

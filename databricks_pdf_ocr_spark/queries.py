@@ -713,6 +713,40 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("results_time_travel", """
+WITH log(doc_id, run_seq, payload) AS (
+  VALUES ('d1', 1, 'A'), ('d1', 2, 'B'), ('d2', 1, 'X'), ('d3', 2, 'Y')),
+snapshots AS (SELECT 1 AS as_of UNION ALL SELECT 2),
+state AS (
+  SELECT a.as_of, l.doc_id, l.payload,
+         row_number() OVER (PARTITION BY a.as_of, l.doc_id
+                            ORDER BY l.run_seq DESC) AS rn
+  FROM snapshots a JOIN log l ON l.run_seq <= a.as_of)
+SELECT CAST(as_of AS BIGINT) AS as_of, doc_id, payload
+FROM state WHERE rn = 1
+""")
+def results_time_travel(spark, sf_dir):
+    """Snapshot time travel over the append-only results log
+    (`plans.state_views.results_as_of`): table state AS OF each run
+    ordinal — the Iceberg/Delta snapshot read this engine gets for free
+    from never updating in place (filter + the SAME latest-wins window
+    as the current-state read).  Deterministic in-query log, the
+    VALUES-oracle pattern."""
+    from .plans import state_views
+
+    log = spark.createDataFrame(
+        [("d1", 1, "A"), ("d1", 2, "B"), ("d2", 1, "X"), ("d3", 2, "Y")],
+        "doc_id string, run_seq int, payload string") \
+        .withColumn("processed_at",
+                    F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    outs = []
+    for n in (1, 2):
+        outs.append(state_views.results_as_of(log, n)
+                    .select(F.lit(n).cast("long").alias("as_of"),
+                            "doc_id", "payload"))
+    return outs[0].unionByName(outs[1])
+
+
 @register("dense_ids", """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
