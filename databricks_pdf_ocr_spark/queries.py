@@ -713,6 +713,53 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("crawl_budget", """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM counts),
+shares AS (
+  SELECT source, n,
+         (n * 997) // total AS fl,
+         (n * 997) % total AS rem
+  FROM counts, tot),
+leftover AS (SELECT 997 - sum(fl) AS k FROM shares),
+ranked AS (
+  SELECT source, n, fl,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM shares)
+SELECT source, n AS n_docs,
+       CAST(fl + CASE WHEN rk <= (SELECT k FROM leftover)
+                      THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM ranked
+""")
+def crawl_budget(spark, sf_dir):
+    """Proportional crawl-budget allocation with largest-remainder
+    rounding (Hamilton's method): split a global fetch budget of 997
+    across sources by document share so the parts sum EXACTLY to the
+    budget — the allocation step between host ranking and
+    frontier_schedule in a crawl stack.  All arithmetic is integer
+    (floor-quota = n·B div total, remainders ranked), so parity is
+    exact by construction; one corpus hash-agg, then every stage runs
+    on the model-scale source table (two 1-row broadcasts, one
+    window)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    shares = (counts.join(F.broadcast(tot))
+              .select("source", "n",
+                      F.expr("(n * 997) div total").alias("fl"),
+                      ((F.col("n") * 997) % F.col("total")).alias("rem")))
+    leftover = shares.agg((F.lit(997) - F.sum("fl")).alias("k"))
+    ranked = shares.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("rem"), F.asc("source"))))
+    return (ranked.join(F.broadcast(leftover))
+            .select("source", F.col("n").alias("n_docs"),
+                    (F.col("fl")
+                     + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+                    .cast("long").alias("budget")))
+
+
 @register("results_time_travel", """
 WITH log(doc_id, run_seq, payload) AS (
   VALUES ('d1', 1, 'A'), ('d1', 2, 'B'), ('d2', 1, 'X'), ('d3', 2, 'Y')),
