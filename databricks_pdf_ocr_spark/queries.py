@@ -713,6 +713,71 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("entity_blocking", """
+WITH blocked AS (
+  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer),
+pairs AS (
+  SELECT a.blk, a.c_custkey AS key_a, b.c_custkey AS key_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1)
+SELECT blk, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY blk
+""")
+def entity_blocking(spark, sf_dir):
+    """Entity resolution, the blocked shape: candidate pairs form ONLY
+    inside a blocking key (name prefix — in production a phonetic/
+    normalized key), then the expensive pairwise edit-distance verifier
+    runs per candidate, never all-pairs.  The equi-join on the block
+    key is the same candidate-generation discipline as LSH banding;
+    block sizes bound the quadratic term (skewed blocks are AQE-split
+    data properties).  Levenshtein is integer-exact on both engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk"))
+    a = c.select(F.col("blk"), F.col("c_custkey").alias("key_a"),
+                 F.col("c_name").alias("name_a"))
+    b = c.select(F.col("blk"), F.col("c_custkey").alias("key_b"),
+                 F.col("c_name").alias("name_b"))
+    return (a.join(b, "blk")
+            .filter((F.col("key_a") < F.col("key_b"))
+                    & (F.levenshtein("name_a", "name_b") <= 1))
+            .groupBy("blk")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+@register("trimmed_mean", """
+WITH bounds AS (
+  SELECT o_orderstatus,
+         quantile_cont(o_totalprice, 0.1) AS lo,
+         quantile_cont(o_totalprice, 0.9) AS hi
+  FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderstatus,
+       round(avg(o.o_totalprice), 2) AS trimmed_avg,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+WHERE o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+GROUP BY o.o_orderstatus
+""")
+def trimmed_mean(spark, sf_dir):
+    """Robust central tendency: the 10–90% trimmed mean per stratum —
+    the outlier-resistant KPI a monitoring pipeline prefers over a raw
+    mean.  Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, bit-equal — selection+interpolation has no
+    summation drift) computed per group (model-scale, broadcast back),
+    then one filtered re-aggregate; round(2) absorbs the avg
+    summation-order ulps."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.1)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("hi"))
+    return (o.join(F.broadcast(bounds), "o_orderstatus")
+            .filter((F.col("o_totalprice") >= F.col("lo"))
+                    & (F.col("o_totalprice") <= F.col("hi")))
+            .groupBy("o_orderstatus")
+            .agg(F.round(F.avg("o_totalprice"), 2).alias("trimmed_avg"),
+                 F.count(F.lit(1)).cast("long").alias("n_kept")))
+
+
 @register("crawl_budget", """
 WITH counts AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
