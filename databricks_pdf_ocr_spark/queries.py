@@ -713,6 +713,72 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("copurchase_pairs", """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey),
+pairs AS (
+  SELECT a.part_a, b.part_b
+  FROM (SELECT l_orderkey, unnest(parts) AS part_a FROM baskets) a
+  JOIN (SELECT l_orderkey, unnest(parts) AS part_b FROM baskets) b
+    ON a.l_orderkey = b.l_orderkey AND a.part_a < b.part_b)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+FROM pairs GROUP BY part_a, part_b
+HAVING count(*) >= 2
+""")
+def copurchase_pairs(spark, sf_dir):
+    """Market-basket 2-itemsets: part pairs co-occurring in an order,
+    min support 2 — the frequent-itemset statistics recommendation
+    pipelines start from.  Spark side generates pairs JOIN-FREE from
+    each basket's sorted distinct-part array (the graph_triangles
+    index-aware transform — per-basket fan-out is O(basket²) with
+    baskets naturally small, vs the oracle's self-join shuffle), so the
+    only wide stages are the basket collect and the support hash-agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("t")))
+    pairs = (baskets.select(F.explode(F.flatten(F.expr(
+        "transform(t, (x, i) -> transform(slice(t, i + 2, size(t)), "
+        "y -> struct(x AS a, y AS b)))"))).alias("p"))
+        .select("p.a", "p.b"))
+    return (pairs.groupBy(F.col("a").alias("part_a"),
+                          F.col("b").alias("part_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= 2))
+
+
+@register("sentence_stats", """
+WITH sents AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[.!?]+\\\\s*'),
+                     s -> length(trim(s)) > 0) AS ss
+  FROM documents)
+SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN len(ss) = 0 THEN 0 ELSE
+         list_sum(list_transform(ss, s -> length(trim(s)))) // len(ss)
+       END AS BIGINT) AS mean_sentence_chars
+FROM sents
+""")
+def sentence_stats(spark, sf_dir):
+    """Sentence segmentation statistics (count + integer mean length)
+    per document — the readability/fragmentation signal beside the
+    word-level quality gates.  Split on terminal-punctuation runs with
+    an engine-portable pattern, empties filtered; arithmetic kept in
+    integers (length sums // count) so parity is exact.  Pure narrow
+    projection — zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    ss = F.filter(F.split("text", r"[.!?]+\s*"),
+                  lambda s: F.length(F.trim(s)) > 0)
+    d = docs.select("doc_id", ss.alias("ss"))
+    return d.select(
+        "doc_id",
+        F.size("ss").cast("long").alias("n_sentences"),
+        F.when(F.size("ss") == 0, F.lit(0)).otherwise(
+            F.expr("aggregate(ss, 0L, (acc, s) -> acc + length(trim(s))) "
+                   "div size(ss)")).cast("long")
+        .alias("mean_sentence_chars"))
+
+
 @register("entity_blocking", """
 WITH blocked AS (
   SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer),
