@@ -713,6 +713,110 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("dq_expectations", """
+SELECT * FROM (
+  SELECT 'orderkey_not_null' AS rule,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_positive',
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'status_in_domain',
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_format',
+         CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                               '^[1-5]-[A-Z]+$')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'custkey_fk_resolves',
+         CAST(count(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+""")
+def dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite (the Deequ/Great
+    Expectations shape): five rules — not-null, range, domain
+    membership, format regex, FK resolution — verified in ONE scan for
+    the four row-local rules (each is a sum(case) riding the same
+    aggregate; adding a rule adds a column, not a pass) plus one
+    broadcast anti-join for the referential rule.  Output is the long
+    (rule, n_violations) audit table a quality gate alerts on."""
+    o = _t(spark, sf_dir, "orders")
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    row_local = o.agg(
+        viol(F.col("o_orderkey").isNull()).alias("orderkey_not_null"),
+        viol(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
+        viol(~F.col("o_orderstatus").isin("F", "O", "P"))
+        .alias("status_in_domain"),
+        viol(~F.col("o_orderpriority").rlike("^[1-5]-[A-Z]+$"))
+        .alias("priority_format"))
+    long = row_local.unpivot(
+        ids=[], values=["orderkey_not_null", "totalprice_positive",
+                        "status_in_domain", "priority_format"],
+        variableColumnName="rule", valueColumnName="n_violations")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    fk = (o.join(F.broadcast(cust),
+                 o["o_custkey"] == cust["c_custkey"], "left_anti")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+          .select(F.lit("custkey_fk_resolves").alias("rule"),
+                  "n_violations"))
+    return long.unionByName(fk)
+
+
+@register("audience_overlap", """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, n_both,
+       CAST((n_both * 1000000) // (sa.n + sb.n - n_both) AS BIGINT)
+         AS jaccard_e6
+FROM inter JOIN sizes sa ON sa.event_type = type_a
+           JOIN sizes sb ON sb.event_type = type_b
+""")
+def audience_overlap(spark, sf_dir):
+    """Audience set algebra: pairwise Jaccard overlap between the user
+    sets of each event type — the segment-overlap matrix growth teams
+    read.  Intersections come JOIN-FREE from each user's sorted
+    distinct-type array (the basket pair generator again — fan-out
+    O(|types|²) per user, |types| bounded); set sizes broadcast back
+    onto the |types|² matrix; integer-scaled Jaccard for exact parity."""
+    ev = _t(spark, sf_dir, "events")
+    types = (ev.groupBy("user_id")
+             .agg(F.array_sort(F.collect_set("event_type")).alias("t")))
+    pairs = (types.select(F.explode(F.flatten(F.expr(
+        "transform(t, (x, i) -> transform(slice(t, i + 2, size(t)), "
+        "y -> struct(x AS a, y AS b)))"))).alias("p"))
+        .select("p.a", "p.b"))
+    inter = (pairs.groupBy(F.col("a").alias("type_a"),
+                           F.col("b").alias("type_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    sizes = (ev.select("user_id", "event_type").distinct()
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .select("type_a", "type_b", "n_both",
+                    F.expr("(n_both * 1000000) div (na + nb - n_both)")
+                    .cast("long").alias("jaccard_e6")))
+
+
 @register("copurchase_pairs", """
 WITH baskets AS (
   SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
