@@ -713,6 +713,60 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("vocab_drift", """
+WITH toks AS (
+  SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              THEN 'a' ELSE 'b' END AS slice,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+counts AS (
+  SELECT term,
+         CAST(sum(CASE WHEN slice = 'a' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS ca,
+         CAST(sum(CASE WHEN slice = 'b' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS cb
+  FROM toks WHERE term <> '' GROUP BY term),
+tots AS (SELECT sum(ca) AS ta, sum(cb) AS tb,
+                CAST(count(*) AS DOUBLE) AS v FROM counts)
+SELECT term,
+       CAST(floor(((ca + 1) / (ta + v)) * ln(((ca + 1) / (ta + v))
+            / ((cb + 1) / (tb + v))) * 1e7 + 0.5) AS BIGINT) AS kl_e7
+FROM counts, tots
+ORDER BY kl_e7 DESC, term LIMIT 15
+""")
+def vocab_drift(spark, sf_dir):
+    """Vocabulary drift monitor: per-term contribution to
+    KL(slice_a ‖ slice_b) between the unigram distributions of two
+    corpus slices (add-one smoothed) — the distribution-shift alarm a
+    training-data pipeline watches between crawls.  ONE token hash-agg
+    with both slice counts as conditional sums (never two scans),
+    totals broadcast from a 1-row agg, top movers via TakeOrdered.
+    ln() floor-scaled to e7 ints (the bm25 precedent) for cross-engine
+    double parity."""
+    docs = _t(spark, sf_dir, "documents")
+    slice_col = F.when(
+        F.substring("source", 4, 10).cast("long") % 2 == 0,
+        "a").otherwise("b")
+    toks = (docs.select(slice_col.alias("slice"),
+                        F.explode(F.split(F.lower("text"), " "))
+                        .alias("term"))
+            .filter(F.col("term") != ""))
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("slice") == "a", 1).otherwise(0))
+        .cast("double").alias("ca"),
+        F.sum(F.when(F.col("slice") == "b", 1).otherwise(0))
+        .cast("double").alias("cb"))
+    tots = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+                      F.count(F.lit(1)).cast("double").alias("v"))
+    pa = (F.col("ca") + 1) / (F.col("ta") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("tb") + F.col("v"))
+    return (counts.join(F.broadcast(tots))
+            .select("term",
+                    F.floor(pa * F.log(pa / pb) * 1e7 + F.lit(0.5))
+                    .cast("long").alias("kl_e7"))
+            .orderBy(F.desc("kl_e7"), F.asc("term")).limit(15))
+
+
 @register("dq_expectations", """
 SELECT * FROM (
   SELECT 'orderkey_not_null' AS rule,
