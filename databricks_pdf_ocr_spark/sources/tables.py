@@ -166,6 +166,29 @@ class TableIO:
          .partitionBy(*partition_by)
          .parquet(self.path(name)))
 
+    def compact(self, name: str, target_files: int = 1) -> dict:
+        """Rewrite an append-grown table into ``target_files`` files —
+        the small-files maintenance every streaming append sink needs
+        (each micro-batch leaves a file; a year of batches leaves a
+        scan with a year of footer fetches).  Content-preserving by
+        construction: the staging copy is COMPLETELY written, row-count
+        re-checked, then swapped in via the crash-safe
+        ``replace_table`` two-rename hop (a crash leaves the original
+        or a recoverable ``.bak``, never a mix)."""
+        df = self.read(name)
+        if df is None:
+            return {"files_before": 0, "files_after": 0, "rows": 0}
+        before = sum(len(fs) for _, _, fs in os.walk(self.path(name)))
+        n_rows = df.count()
+        staging = name + "__compacting"
+        self.overwrite(df.coalesce(target_files), staging)
+        assert self.read(staging).count() == n_rows, \
+            f"compaction row-count mismatch on {name}"
+        self.replace_table(staging, name)
+        after = sum(len(fs) for _, _, fs in os.walk(self.path(name)))
+        return {"files_before": before, "files_after": after,
+                "rows": int(n_rows)}
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 

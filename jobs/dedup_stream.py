@@ -37,6 +37,9 @@ def run_job(spark, args) -> dict:
         available_now=not args.continuous)
     q.awaitTermination()
     io = make_table_io(spark, args.tables)
+    if args.compact:
+        for t in (cs.CORPUS_TABLE, cs.INDEX_TABLE):
+            io.compact(t)
     corpus = io.read(cs.CORPUS_TABLE)
     index = io.read(cs.INDEX_TABLE)
     labels = io.read(cs.LABELS_TABLE)
@@ -59,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--hash-mode", default="xxhash64",
                     choices=["xxhash64", "sha2"])
     ap.add_argument("--verify-jaccard", type=float, default=0.3)
+    ap.add_argument("--compact", action="store_true",
+                    help="after the drain, rewrite the append-grown "
+                         "corpus/index tables into single files "
+                         "(small-files maintenance)")
     ap.add_argument("--continuous", action="store_true",
                     help="keep the query running instead of availableNow")
     return ap

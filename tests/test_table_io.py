@@ -80,3 +80,23 @@ def test_append_layout_guard(spark, tmp_tables):
         io.append(df, "parted", partition_by=["payload"])  # wrong column
     io.append(df, "parted", partition_by=["bucket"])   # matching layout ok
     assert io.read("parted").count() == 2
+
+
+def test_compact_preserves_rows_and_merges_files(spark, tmp_tables):
+    """Append-grown table → one file, identical content; missing table
+    is a no-op report."""
+    from databricks_pdf_ocr_spark.sources.tables import TableIO
+
+    io = TableIO(spark, tmp_tables)
+    for wave in range(3):
+        io.append(spark.range(wave * 10, wave * 10 + 10)
+                  .selectExpr("id", "id * 2 AS v").repartition(4), "t")
+    before = {(r["id"], r["v"]) for r in io.read("t").collect()}
+    rep = io.compact("t")
+    assert rep["rows"] == 30 and rep["files_after"] < rep["files_before"]
+    files = [f for f in __import__("os").listdir(io.path("t"))
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert {(r["id"], r["v"]) for r in io.read("t").collect()} == before
+    assert io.compact("missing") == {"files_before": 0, "files_after": 0,
+                                     "rows": 0}
