@@ -713,6 +713,47 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("promo_revenue_share", """
+WITH j AS (
+  SELECT CAST(date_diff('month', TIMESTAMP '1992-01-01', l_shipdate)
+              AS BIGINT) AS ship_month,
+         p_type, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+m AS (
+  SELECT ship_month,
+         round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END), 2)
+           AS promo_rev,
+         round(sum(rev), 2) AS total_rev
+  FROM j GROUP BY ship_month)
+SELECT ship_month,
+       CAST(floor(promo_rev / total_rev * 1e4 + 0.5) AS BIGINT)
+         AS promo_share_e4
+FROM m
+""")
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: monthly share of revenue from PROMO parts —
+    fact ⋈ dimension with a conditional aggregate ratio.  The part
+    dimension BROADCASTS (model-scale), months via integer calendar
+    arithmetic (NTZ-safe); both revenue sums are rounded to exact
+    cents BEFORE the ratio so the division and floor are deterministic
+    across engines (ratio-of-rounded, the engine-parity recipe for
+    quotient metrics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    month = F.expr("timestampdiff(MONTH, TIMESTAMP '1992-01-01', "
+                   "l_shipdate)").cast("long")
+    m = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+         .groupBy(month.alias("ship_month"))
+         .agg(F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                            .otherwise(0.0)), 2).alias("promo_rev"),
+              F.round(F.sum(rev), 2).alias("total_rev")))
+    return m.select(
+        "ship_month",
+        F.floor(F.col("promo_rev") / F.col("total_rev") * 1e4
+                + F.lit(0.5)).cast("long").alias("promo_share_e4"))
+
+
 @register("vocab_drift", """
 WITH toks AS (
   SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
