@@ -100,3 +100,26 @@ def test_compact_preserves_rows_and_merges_files(spark, tmp_tables):
     assert {(r["id"], r["v"]) for r in io.read("t").collect()} == before
     assert io.compact("missing") == {"files_before": 0, "files_after": 0,
                                      "rows": 0}
+
+
+def test_write_with_bloom_adds_filter_bytes_and_roundtrips(spark, tmp_path):
+    """Bloom-filtered write: same rows back, and the file grows by the
+    split-block bloom bytes (the only observable here — this pyarrow
+    build does not expose bloom_filter_offset)."""
+    import glob
+    import os
+
+    from databricks_pdf_ocr_spark.sources.tables import write_with_bloom
+
+    df = spark.range(0, 20000).selectExpr(
+        "id", "concat('u', id) AS k").coalesce(1)
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    df.write.parquet(plain)
+    write_with_bloom(df, bloomed, {"k": 20000})
+    a = os.path.getsize(glob.glob(plain + "/*.parquet")[0])
+    b = os.path.getsize(glob.glob(bloomed + "/*.parquet")[0])
+    assert b > a + 4096          # a real filter landed, not metadata noise
+    back = spark.read.parquet(bloomed)
+    assert back.count() == 20000
+    assert back.filter("k = 'u19999'").count() == 1
