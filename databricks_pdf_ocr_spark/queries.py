@@ -713,6 +713,45 @@ def snapshot_diff(spark, sf_dir):
                     .otherwise("modified").alias("status")))
 
 
+@register("shipping_latency", """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+           AS lat_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate)
+SELECT o_orderpriority,
+       CAST(floor(quantile_cont(lat_days, 0.5) * 10 + 0.5) AS BIGINT)
+         AS p50_days_e1,
+       CAST(floor(quantile_cont(lat_days, 0.9) * 10 + 0.5) AS BIGINT)
+         AS p90_days_e1,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY o_orderpriority
+""")
+def shipping_latency(spark, sf_dir):
+    """Order→ship latency percentiles per priority — the SLA metric
+    shape (event-pair delta + per-stratum exact quantiles).  Integer
+    day deltas via calendar arithmetic (NTZ-safe); exact interpolated
+    percentiles floor-scaled to tenths-of-a-day ints — a bare BIGINT
+    cast would TRUNCATE on Spark but ROUND on DuckDB at interpolated
+    fractions; negative deltas (synthetic-data artifacts) are filtered
+    explicitly rather than silently averaged in."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = F.expr("timestampdiff(DAY, o_orderdate, l_shipdate)") \
+        .cast("long")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+            .select("o_orderpriority", lat.alias("lat_days"))
+            .groupBy("o_orderpriority")
+            .agg(F.floor(F.expr("percentile(lat_days, 0.5)") * 10
+                         + F.lit(0.5)).cast("long").alias("p50_days_e1"),
+                 F.floor(F.expr("percentile(lat_days, 0.9)") * 10
+                         + F.lit(0.5)).cast("long").alias("p90_days_e1"),
+                 F.count(F.lit(1)).cast("long").alias("n")))
+
+
 @register("promo_revenue_share", """
 WITH j AS (
   SELECT CAST(date_diff('month', TIMESTAMP '1992-01-01', l_shipdate)
