@@ -140,33 +140,39 @@ def assign_dense_ids(df: DataFrame, order_col: str, n_parts: int = 8,
     …)`` (embedding-matrix row ids, token-offset bases, file-split
     manifests all want this).
 
-    Two-phase: ``repartitionByRange(order_col)`` (Spark's sampled range
-    exchange) gives ordered, non-overlapping partitions; per-partition
-    counts collect to the driver (≤ n_parts control-plane ints), their
-    exclusive prefix sums broadcast back as each partition's id offset;
-    within a partition ids are a LOCAL row_number.  The id values are a
-    pure function of the ``order_col`` total order — the sampled range
-    boundaries shift the split points, never the ids — so results are
-    deterministic across runs, engines, and cluster sizes (oracle:
+    Two-phase with EXACTLY ONE full-data exchange: the sampled range
+    exchange + in-partition sort give ordered, non-overlapping
+    partitions; ``monotonically_increasing_id`` then encodes
+    (partition, local ordinal) as ``pid·2³³ + ordinal`` in a pure
+    projection — no window, so no second full-data shuffle (a
+    ``Window.partitionBy(pid)`` here would re-exchange everything on
+    pid).  Per-partition counts reduce map-side to ≤ n_parts rows,
+    collect as control-plane ints, and their exclusive prefix sums ride
+    back in a tiny literal map: ``id = offset[pid] + ordinal``.  The id
+    values are a pure function of the ``order_col`` total order — the
+    sampled range boundaries shift split points, never ids — so results
+    are deterministic across runs, engines, and cluster sizes (oracle:
     ``row_number() OVER (ORDER BY …) - 1``).  Requires unique
     ``order_col`` values (ties across a range boundary would make the
     order — and any engine's row_number — ambiguous anyway)."""
     ranged = (df.repartitionByRange(n_parts, F.col(order_col))
-              .withColumn("_pid", F.spark_partition_id()))
-    ranged = ranged.localCheckpoint()   # pin partitioning: counts and the
-    # numbering pass below must see the SAME exchange, not re-sample it
-    counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(
+              .sortWithinPartitions(order_col)
+              .withColumn("_mid", F.monotonically_increasing_id()))
+    # pin the sampled exchange + id assignment: the counts pass and the
+    # projection below must see the SAME physical rows, not re-sample
+    ranged = ranged.localCheckpoint()
+    pid = F.shiftright("_mid", 33)
+    local = F.expr(f"_mid & {(1 << 33) - 1}")
+    counts = {r["p"]: r["cnt"] for r in
+              ranged.groupBy(pid.alias("p")).agg(
                   F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
     off = F.create_map(*[F.lit(v) for kv in sorted(offsets.items())
                          for v in kv])
-    w = Window.partitionBy("_pid").orderBy(order_col)
     return (ranged
             .withColumn(out_col,
-                        (F.row_number().over(w) - 1
-                         + F.element_at(off, F.col("_pid"))).cast("long"))
-            .drop("_pid"))
+                        (F.element_at(off, pid) + local).cast("long"))
+            .drop("_mid"))
