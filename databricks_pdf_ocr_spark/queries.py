@@ -381,9 +381,11 @@ def event_funnel(spark, sf_dir):
     purchase-after-that) — the product-analytics staple, with real
     ORDER semantics (each stage's earliest qualifying time gates the
     next), not mere per-type existence.  Three conditional min-aggs
-    chained by user_id equi-joins: every stage keys on user_id, so one
-    hash partitioning serves the whole chain (no re-shuffle), and each
-    stage's output is strictly smaller than the last."""
+    chained by user_id equi-joins: EVERY exchange in the plan is on the
+    one key (plan-audited: 5x hashpartitioning(user_id), nothing else)
+    -- each stage shuffles only its own filtered, progressively smaller
+    event slice, and the aggregated outputs reuse their partitioning
+    into the next join."""
     ev = _t(spark, sf_dir, "events")
     s1 = (ev.filter(F.col("event_type") == "view")
           .groupBy("user_id").agg(F.min("ts").alias("t1")))
@@ -925,11 +927,15 @@ def audience_overlap(spark, sf_dir):
     sets of each event type — the segment-overlap matrix growth teams
     read.  Intersections come JOIN-FREE from each user's sorted
     distinct-type array (the basket pair generator again — fan-out
-    O(|types|²) per user, |types| bounded); set sizes broadcast back
-    onto the |types|² matrix; integer-scaled Jaccard for exact parity."""
+    O(|types|²) per user, |types| bounded); the SAME materialized
+    per-user arrays also yield the set sizes (one corpus scan + one
+    user hash-agg total -- not a second scan + distinct exchange);
+    sizes broadcast onto the |types|² matrix; integer-scaled Jaccard
+    for exact parity."""
     ev = _t(spark, sf_dir, "events")
     types = (ev.groupBy("user_id")
-             .agg(F.array_sort(F.collect_set("event_type")).alias("t")))
+             .agg(F.array_sort(F.collect_set("event_type")).alias("t"))
+             .localCheckpoint())
     pairs = (types.select(F.explode(F.flatten(F.expr(
         "transform(t, (x, i) -> transform(slice(t, i + 2, size(t)), "
         "y -> struct(x AS a, y AS b)))"))).alias("p"))
@@ -937,7 +943,7 @@ def audience_overlap(spark, sf_dir):
     inter = (pairs.groupBy(F.col("a").alias("type_a"),
                            F.col("b").alias("type_b"))
              .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
-    sizes = (ev.select("user_id", "event_type").distinct()
+    sizes = (types.select(F.explode("t").alias("event_type"))
              .groupBy("event_type")
              .agg(F.count(F.lit(1)).cast("long").alias("n")))
     sa = sizes.select(F.col("event_type").alias("type_a"),
