@@ -133,6 +133,91 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def prefix_filter_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        t_num: int = 19, t_den: int = 20) -> DataFrame:
+    """EXACT token-set Jaccard self-join via AllPairs/PPJoin prefix
+    filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08) — the
+    exact-recall complement to the probabilistic MinHash-LSH rung: no
+    banding recall loss, candidates bounded by the prefix principle
+    instead of signatures.
+
+    Threshold is the rational ``t_num/t_den`` and EVERY comparison is
+    integer cross-multiplication — no float ``ceil`` (0.95·20 in IEEE
+    is 19.000…004, whose ceil silently shrinks the prefix and drops
+    true pairs) and no float ``>=`` boundary for the oracle to disagree
+    on.  ``jaccard_e6`` is the floor-scaled integer ratio (the repo's
+    cross-engine parity recipe for quotients).
+
+    Plan (all relational, no UDF):
+      1. distinct tokens per doc (narrow) → explode → global document
+         frequency (one hash-agg with map-side combine);
+      2. rarest-first total order per doc WITHOUT a window: the
+         token↔freq equi-join re-uses the token partitioning, then ONE
+         hash-agg per doc collects (df, token) structs, ``sort_array``
+         orders them, ``slice`` keeps the length-(n − ⌈t·n⌉ + 1)
+         prefix — the pigeonhole guarantee that any pair with
+         J ≥ t shares a prefix token under a shared total order;
+      3. candidate generation: prefix-token self-equi-join with the
+         symmetric Jaccard length filter (t·|x| ≤ |y| ∧ t·|y| ≤ |x|)
+         applied IN the join condition, then distinct pairs;
+      4. exact verification: ``array_intersect`` of the materialized
+         token arrays (broadcast is wrong here — the token-set table
+         scales with the corpus, so both verify joins shuffle on the
+         id, which AQE plans as SMJ).
+
+    100 TB shape: every stage is an equi-join or hash-agg on a
+    hashable key; the classic skew hazard (a stop-word shared by every
+    doc) cannot enter step 3 because prefixes keep only each doc's
+    RAREST tokens — the frequent-token join fan-out that sinks naive
+    token self-joins is pruned by construction, and AQE skew-split
+    covers the residue.  Exactness is gate-proven: the DuckDB oracle
+    computes unfiltered all-pairs Jaccard, so any prefix-recall bug
+    hash-mismatches.
+    """
+    toks = (df.select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    F.filter(tokens_col(text_col),
+                             lambda x: x != F.lit(""))).alias("toks"))
+            .withColumn("n_tok", F.size("toks"))
+            .filter(F.col("n_tok") > 0))
+    tok = toks.select("id", "n_tok", F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    # prefix length p = n − ⌈t·n⌉ + 1, exact in integers:
+    # ⌈a·n/b⌉ = (a·n + b − 1) div b
+    plen = (F.col("n_tok")
+            - F.expr(f"(n_tok * {t_num} + {t_den} - 1) DIV {t_den}") + 1)
+    prefix = (tok.join(freq, "token")
+              .groupBy("id", "n_tok")
+              .agg(F.sort_array(
+                  F.collect_list(F.struct("dfreq", "token"))).alias("ord"))
+              .select("id", "n_tok",
+                      F.explode(
+                          F.slice(F.col("ord.token"), F.lit(1),
+                                  plen.cast("int"))).alias("token")))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.token") == F.col("b.token"))
+                   & (F.col("a.id") < F.col("b.id"))
+                   & (F.col("b.n_tok") * t_den >= F.col("a.n_tok") * t_num)
+                   & (F.col("a.n_tok") * t_den >= F.col("b.n_tok") * t_num))
+            .select(F.col("a.id").alias("doc_a"),
+                    F.col("b.id").alias("doc_b"))
+            .distinct())
+    ta = toks.select(F.col("id").alias("doc_a"), F.col("toks").alias("ta"),
+                     F.col("n_tok").alias("na"))
+    tb = toks.select(F.col("id").alias("doc_b"), F.col("toks").alias("tb"),
+                     F.col("n_tok").alias("nb"))
+    return (cand.join(ta, "doc_a").join(tb, "doc_b")
+            .withColumn("inter",
+                        F.size(F.array_intersect("ta", "tb")).cast("long"))
+            .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+            .filter(F.col("inter") * t_den >= F.col("uni") * t_num)
+            .select("doc_a", "doc_b",
+                    F.expr("inter * 1000000 DIV uni").alias("jaccard_e6"))
+            )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

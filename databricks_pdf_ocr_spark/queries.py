@@ -1678,6 +1678,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                      n=3, threshold=0.12)
 
 
+@register("dedup_prefix_exact", """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS t
+  FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks WHERE len(t) > 0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, (c * 1000000) // (sa.n + sb.n - c) AS jaccard_e6
+FROM overlap
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 20 >= (sa.n + sb.n - c) * 19
+""")
+def dedup_prefix_exact(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.95 token-set pairs via AllPairs/PPJoin prefix
+    filtering — the deterministic dedup rung with NO banding recall
+    loss (``operators/dedup.py::prefix_filter_pairs``).  The oracle
+    deliberately computes the UNFILTERED all-pairs truth (plain token
+    self-join, no prefix pruning), so hash equality proves the prefix
+    principle dropped zero qualifying pairs on this corpus, not just
+    that both engines ran the same shortcut.  All threshold math is
+    integer cross-multiplication on both sides (float ceil/>= at the
+    0.95 boundary is where engines disagree)."""
+    return dedup.prefix_filter_pairs(_t(spark, sf_dir, "documents"),
+                                     t_num=19, t_den=20)
+
+
 def _minhash_sql(k: int = 8, bands: int = 4, src: str = "documents") -> str:
     r = k // bands
     mh = ", ".join(

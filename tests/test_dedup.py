@@ -46,3 +46,66 @@ def test_substring_spans_short_docs_and_no_false_positives(spark):
     rows = [(1, "one two three"), (2, "one two three"),
             (3, " ".join(f"z{i}" for i in range(30)))]
     assert _span_rows(spark, rows, min_tokens=12) == []
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter exact set-similarity join (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(rows, t_num, t_den):
+    """Sequential all-pairs truth with the same integer threshold math."""
+    sets = {i: {w for w in text.lower().split(" ") if w} for i, text in rows}
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * t_den >= uni * t_num:
+                out.add((a, b, inter * 1000000 // uni))
+    return out
+
+
+def _prefix_pairs(spark, rows, t_num, t_den):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.prefix_filter_pairs(df, t_num=t_num, t_den=t_den).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert len(pairs) == len(got)              # no duplicate pairs
+    return {(r["doc_a"], r["doc_b"], r["jaccard_e6"]) for r in got}
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    """Exact recall AND precision vs a sequential all-pairs oracle on a
+    corpus with graded overlap (95%, 80%, 50%, disjoint)."""
+    base = [f"w{i}" for i in range(20)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:19] + ["x1"])),          # J = 19/21
+        (3, " ".join(base)),                        # identical to 1
+        (4, " ".join(base[:16] + ["y1", "y2", "y3", "y4"])),  # J = 16/24
+        (5, " ".join(f"z{i}" for i in range(20))),  # disjoint
+        (6, ""),                                    # empty → excluded
+    ]
+    for t_num, t_den in ((19, 20), (9, 10), (4, 5), (1, 2)):
+        got = _prefix_pairs(spark, rows, t_num, t_den)
+        want = _brute_jaccard_pairs([(i, s) for i, s in rows], t_num, t_den)
+        assert got == want, (t_num, t_den)
+
+
+def test_prefix_filter_integer_ceil_boundary(spark):
+    """n_tok=20 at t=19/20: float ceil(0.95·20)=ceil(19.000…004)=20
+    would shrink the prefix to 1 token and can drop the identical pair
+    when the kept token differs — the integer DIV path keeps p=2 and
+    the boundary pair J=19/20 exactly at threshold must survive."""
+    base = [f"w{i}" for i in range(19)]
+    rows = [(1, " ".join(base + ["only_a"])),
+            (2, " ".join(base + ["only_b"]))]        # J = 19/21 < 19/20
+    got = _prefix_pairs(spark, rows, 19, 20)
+    assert got == set()                                # below threshold
+    rows2 = [(1, " ".join(base + ["only_a"])),
+             (2, " ".join(base))]                      # J = 19/20 == t
+    got2 = _prefix_pairs(spark, rows2, 19, 20)
+    assert got2 == {(1, 2, 19 * 1000000 // 20)}
