@@ -65,7 +65,7 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     decoder), so every still-image web format decodes for real; video
     codecs beyond MJPEG stay deliberately loud so nobody mistakes the
     fake for them."""
-    from ..functions import gifmini, jpegmini, pngmini, webpmini
+    from ..functions import bmpmini, gifmini, jpegmini, pngmini, webpmini
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
         return "png", w, h
@@ -78,10 +78,20 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     if gifmini.looks_like_gif(payload):
         w, h, _channels, _pix = gifmini.decode_gif(payload)
         return "gif", w, h
+    if bmpmini.looks_like_bmp(payload):
+        w, h, _channels, _pix = bmpmini.decode_bmp(payload)
+        return "bmp", w, h
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF/WebP codecs (video) need imaging libraries "
+        "non-PNG/JPEG/GIF/WebP/BMP codecs (video) need imaging libraries "
         "not installed in this container; the deterministic fake "
         "decoder is the hermetic test path for those")
+
+
+def _sniff_bmp(payload: bytes) -> bool:
+    if payload[:2] != b"BM":
+        return False
+    from ..functions import bmpmini
+    return bmpmini.looks_like_bmp(payload)
 
 
 def _decode_fake(payload: bytes) -> tuple[str, int, int, int]:
@@ -197,6 +207,23 @@ def decode_media(df: DataFrame, content_col: str = "content",
                         out["decode_ok"].append(False)
                         out["error_message"].append(str(e))
                         continue
+                elif _sniff_bmp(payload):
+                    # real decode path (pure stdlib+numpy bmpmini): all
+                    # DIB variants, palette/bitfields/RLE legs ('BM' alone
+                    # is a weak magic — looks_like_bmp's DIB-size sniff
+                    # gates it, so non-BMP 'BM…' payloads still route to
+                    # the fake)
+                    try:
+                        fmt, w, h = _decode_image_real(payload)
+                        dur = 0
+                    except Exception as e:
+                        out["format"].append("bmp")
+                        out["width"].append(0)
+                        out["height"].append(0)
+                        out["duration_ms"].append(0)
+                        out["decode_ok"].append(False)
+                        out["error_message"].append(str(e))
+                        continue
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     # real audio path (pure-stdlib RIFF/PCM parser)
                     try:
@@ -263,7 +290,7 @@ def resize_media(df: DataFrame, content_col: str = "content",
     with the reason — the pipeline-continues error contract.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import gifmini, jpegmini, pngmini, webpmini
+        from ..functions import bmpmini, gifmini, jpegmini, pngmini, webpmini
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "format", "width", "height",
@@ -292,9 +319,11 @@ def resize_media(df: DataFrame, content_col: str = "content",
                     fmt = "webp"
                 elif gifmini.looks_like_gif(payload):
                     fmt = "gif"
+                elif bmpmini.looks_like_bmp(payload):
+                    fmt = "bmp"
                 else:
                     emit(mid, None, 0, 0, 0, 0, None, False,
-                         "unsupported codec (PNG, JPEG, GIF and WebP "
+                         "unsupported codec (PNG, JPEG, GIF, WebP and BMP "
                          "decode hermetically)")
                     continue
                 try:
@@ -304,6 +333,8 @@ def resize_media(df: DataFrame, content_col: str = "content",
                         w, h, ch, pix = webpmini.webp_decode(payload)
                     elif fmt == "gif":        # first composited frame
                         w, h, ch, pix = gifmini.decode_gif(payload)
+                    elif fmt == "bmp":
+                        w, h, ch, pix = bmpmini.decode_bmp(payload)
                     else:
                         w, h, ch, pix = jpegmini.decode_jpeg(payload)
                     if max(w, h) > max_edge:
