@@ -4443,6 +4443,133 @@ def orc_roundtrip(spark, sf_dir):
     return spark.read.orc(d).select(*cols)
 
 
+@register("sitemap_urls", """
+SELECT source AS host,
+       'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)      AS loc,
+       '2025-' || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+               || '-15'                                                AS lastmod
+FROM documents
+""")
+def sitemap_urls(spark, sf_dir):
+    """Sitemap discovery for the crawl mouth (completes robots_gate /
+    url_normalize / frontier_schedule): synthesize one deterministic
+    sitemap.xml per host from the documents table, then parse it back with
+    Spark's native ``from_xml`` (JVM-side, no Python in the loop) and
+    explode ``<url>`` entries into frontier seed rows.  The oracle computes
+    the expected parse output directly from the synthesis rule, so the XML
+    round-trip (build → parse → explode) is what's under test.  Scale: one
+    hash-agg to assemble per-host XML, then a narrow parse — real sitemap
+    files arrive one-per-host and parse in parallel with no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"), F.lit("</loc><lastmod>2025-"),
+        F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-15</lastmod></url>"))
+    sm = (docs.withColumn("entry", entry)
+          .groupBy("source")
+          .agg(F.concat(F.lit("<urlset>"),
+                        F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                        F.lit("</urlset>")).alias("xml")))
+    parsed = sm.select(
+        F.col("source").alias("host"),
+        F.from_xml("xml", "url ARRAY<STRUCT<loc: STRING, lastmod: STRING>>")
+        .alias("p"))
+    return (parsed.select("host", F.explode("p.url").alias("u"))
+            .select("host", F.col("u.loc").alias("loc"),
+                    F.col("u.lastmod").alias("lastmod")))
+
+
+@register("set_reconcile", """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'click_only' AS cohort, user_id
+FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+UNION ALL
+SELECT 'click_and_buy' AS cohort, user_id
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+""")
+def set_reconcile(spark, sf_dir):
+    """Set-operator pair (SET family beyond unionByName): EXCEPT DISTINCT
+    (``subtract``) and INTERSECT over two behavioral cohorts, tagged and
+    re-unioned.  Catalyst plans both as a single-key left-anti / left-semi
+    hash join over pre-aggregated distinct sets — the distincts shrink each
+    side before the join, so at 100 TB the join operands are |users|, not
+    |events|."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = (ev.filter(F.col("event_type") == "click")
+                .select("user_id").distinct())
+    buyers = (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id").distinct())
+    only = clickers.subtract(buyers).select(
+        F.lit("click_only").alias("cohort"), "user_id")
+    both = clickers.intersect(buyers).select(
+        F.lit("click_and_buy").alias("cohort"), "user_id")
+    return only.unionByName(both)
+
+
+@register("event_gaps", """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us)  AS BIGINT) AS total_gap_us,
+       CAST(max(gap_us)  AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+""")
+def event_gaps(spark, sf_dir):
+    """Inter-event gap profile per user — the lag() window shape (session
+    feature extraction / bot detection).  Gap arithmetic stays in integer
+    microseconds via timestampdiff (TIMESTAMP_NTZ won't cast to long), so
+    the aggregate is exact on both engines.  One exchange on user_id serves
+    BOTH the window sort and the downstream hash-agg (partial agg runs
+    sort-side); ties broken by event_id for a deterministic lag order."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (ev.select("user_id", F.lag("ts").over(w).alias("prev_ts"), "ts")
+         .withColumn("gap_us",
+                     F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")))
+    return (g.filter(F.col("gap_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count("gap_us").cast("long").alias("n_gaps"),
+                 F.sum("gap_us").cast("long").alias("total_gap_us"),
+                 F.max("gap_us").cast("long").alias("max_gap_us")))
+
+
+@register("order_share_of_priority", """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       cents * 100000000 // sum(cents) OVER (PARTITION BY o_orderpriority)
+         AS share_e8
+FROM c
+""")
+def order_share_of_priority(spark, sf_dir):
+    """Percent-of-total window (share of each order within its priority
+    class).  Computed on floor-scaled integer cents with exact integer
+    division (`div` / `//`) so the result is bit-identical across engines
+    and across summation orders — the double-sum window would differ in the
+    last ulp per partition ordering.  One exchange on the partition key; the
+    unbounded window sum is a single pass (no per-row re-scan)."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.select("o_orderkey", "o_orderpriority",
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents"))
+    return (c.withColumn("share_e8", F.expr(
+                "(cents * 100000000L) div sum(cents) OVER "
+                "(PARTITION BY o_orderpriority)"))
+            .select("o_orderkey", "o_orderpriority", "share_e8"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
