@@ -668,3 +668,98 @@ def compression_signal(df: DataFrame, id_col: str = "doc_id",
                     comp_len(F.col(text_col)).alias("comp_bytes"))
             .withColumn("ratio_e6", F.expr(
                 "(comp_bytes * 1000000) div n_bytes")))
+
+
+#: Gopher's stop-word presence set (Rae et al. 2021, appendix A1.1)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher-style quality rule battery (Rae et al. 2021, App. A1.1):
+    word count 50..100k, mean word length 3..10, symbol-to-word ratio
+    (``#`` + ``...``) <= 0.1, >= 80% of words contain a letter, >= 2
+    stop words, < 90% bullet lines, < 30% ellipsis-ended lines — per-doc
+    signals plus the combined ``passes`` flag.
+
+    Every ratio is exact integer micro-units (``(a * 1e6) div b``) so the
+    signals and the flag are bit-identical across engines — the flag
+    compares scaled integers, never doubles.  The token/line arrays are
+    materialized in their own projection and the HOF lambdas reference
+    the attributes (an inlined split() re-evaluates PER ELEMENT).  Scale
+    shape: one narrow projection, zero shuffle, pure JVM codegen.
+    """
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__text"),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+        F.split(F.col(text_col), "\n").alias("__lines"))
+    counts = base.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_words"),
+        F.aggregate(F.transform("__toks", lambda x: F.length(x).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_chars"),
+        (F.length("__text") - F.length(F.expr("replace(__text, '#', '')")))
+        .cast("long").alias("n_hash"),
+        F.expr("CAST((length(__text) - length(replace(__text, '...', '')))"
+               " div 3 AS BIGINT)").alias("n_ell"),
+        F.size(F.filter("__toks", lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long").alias("n_alpha"),
+        F.size(F.filter("__toks", _in_set(_GOPHER_STOPS)))
+        .cast("long").alias("n_stop"),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size(F.filter(
+            "__lines",
+            lambda x: (x.startswith("- ") | x.startswith("* ")
+                       | x.startswith("• "))))
+        .cast("long").alias("n_bullet"),
+        F.size(F.filter(
+            "__lines", lambda x: x.endswith("...") | x.endswith("…")))
+        .cast("long").alias("n_ellline"))
+    return counts.select(
+        F.col(id_col), "n_words",
+        F.expr("(sum_chars * 1000000) div n_words").alias("mean_word_len_e6"),
+        F.expr("((n_hash + n_ell) * 1000000) div n_words")
+        .alias("symbol_ratio_e6"),
+        F.expr("(n_alpha * 1000000) div n_words").alias("alpha_frac_e6"),
+        F.col("n_stop"),
+        F.expr("(n_bullet * 1000000) div n_lines").alias("bullet_frac_e6"),
+        F.expr("(n_ellline * 1000000) div n_lines").alias("ellipsis_frac_e6"),
+        F.expr(
+            "CAST(n_words BETWEEN 50 AND 100000"
+            " AND (sum_chars * 1000000) div n_words BETWEEN 3000000 AND 10000000"
+            " AND ((n_hash + n_ell) * 1000000) div n_words <= 100000"
+            " AND (n_alpha * 1000000) div n_words >= 800000"
+            " AND n_stop >= 2"
+            " AND (n_bullet * 1000000) div n_lines < 900000"
+            " AND (n_ellline * 1000000) div n_lines < 300000 AS INT)")
+        .alias("passes"))
+
+
+#: blocklist drawn from the fixture vocabulary so the gate discriminates
+_BADWORDS = ("slow", "dup", "error")
+
+
+def badwords_gate(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  badwords: tuple[str, ...] = _BADWORDS,
+                  max_rate_e6: int = 40000) -> DataFrame:
+    """C4-style blocklist gate: per-doc blocklisted-token count and rate
+    (exact integer micro-units), plus ``kept = rate <= max_rate_e6``.
+    Token-set membership (not substring match) — 'class' never trips a
+    'ass' entry.  The blocklist is a compile-time literal set folded into
+    the codegen'd filter, so at 100 TB this is a narrow zero-shuffle scan
+    with no join against a wordlist table.
+    """
+    base = df.select(F.col(id_col),
+                     F.split(F.lower(F.col(text_col)), " ").alias("__toks"))
+    counts = base.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.filter("__toks", _in_set(badwords)))
+        .cast("long").alias("n_bad"))
+    return counts.select(
+        F.col(id_col), "n_tokens", "n_bad",
+        F.expr("(n_bad * 1000000) div n_tokens").alias("bad_rate_e6"),
+        F.expr(f"CAST((n_bad * 1000000) div n_tokens <= {max_rate_e6} "
+               "AS INT)").alias("kept"))

@@ -4443,6 +4443,65 @@ def orc_roundtrip(spark, sf_dir):
     return spark.read.orc(d).select(*cols)
 
 
+@register("gopher_rules", """
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS t,
+         string_split(text, chr(10)) AS ln
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_chars,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(t, x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop,
+         CAST(len(ln) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ln, x -> starts_with(x, '- ') OR starts_with(x, '* ') OR starts_with(x, '• '))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(ln, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS n_ellline
+  FROM base)
+SELECT doc_id, n_words,
+       sum_chars * 1000000 // n_words        AS mean_word_len_e6,
+       (n_hash + n_ell) * 1000000 // n_words AS symbol_ratio_e6,
+       n_alpha * 1000000 // n_words          AS alpha_frac_e6,
+       n_stop,
+       n_bullet * 1000000 // n_lines         AS bullet_frac_e6,
+       n_ellline * 1000000 // n_lines        AS ellipsis_frac_e6,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND sum_chars * 1000000 // n_words BETWEEN 3000000 AND 10000000
+            AND (n_hash + n_ell) * 1000000 // n_words <= 100000
+            AND n_alpha * 1000000 // n_words >= 800000
+            AND n_stop >= 2
+            AND n_bullet * 1000000 // n_lines < 900000
+            AND n_ellline * 1000000 // n_lines < 300000 AS INTEGER) AS passes
+FROM c
+""")
+def gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021) — see
+    operators/text_analysis.gopher_rules for the rule list and the
+    integer-micro-unit portability scheme."""
+    return text_analysis.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register("badwords_gate", """
+WITH c AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+n AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(t, x -> x IN ('slow','dup','error')))
+              AS BIGINT) AS n_bad
+  FROM c)
+SELECT doc_id, n_tokens, n_bad,
+       n_bad * 1000000 // n_tokens AS bad_rate_e6,
+       CAST(n_bad * 1000000 // n_tokens <= 40000 AS INTEGER) AS kept
+FROM n
+""")
+def badwords_gate(spark, sf_dir):
+    """C4-style blocklist gate (token-set membership, exact integer rate;
+    blocklist folded into the codegen'd filter — no wordlist join)."""
+    return text_analysis.badwords_gate(_t(spark, sf_dir, "documents"))
+
+
 @register("sitemap_urls", """
 SELECT source AS host,
        'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)      AS loc,

@@ -645,3 +645,46 @@ def test_dedup_canonical_best_keeps_longest(spark, tmp_path):
     assert len(got) == 1                      # one cluster, doc 9 untouched
     r = got[0]
     assert (r.component_id, r.kept_doc_id, r.n_members) == (1, 2, 3)
+
+
+def test_gopher_rules_planted(spark):
+    good = "the data and that of sets have gone with " * 9   # 90 words, stops
+    bully = "\n".join(["- item one here now", "- item two here now",
+                       "plain line here now"])
+    elly = "\n".join(["tail one goes on...", "tail two goes on...",
+                      "plain line stays here"])
+    symb = " ".join(["###"] * 10)
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, "tiny doc"), (3, bully), (4, elly), (5, symb)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            T.gopher_rules(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 81 and r1["passes"] == 1
+    assert r1["n_stop"] == 9 * 6        # the/and/that/of/have/with per rep
+    assert rows[2]["passes"] == 0               # word count < 50
+    # bullet lines: 2 of 3 -> 666666 e6 (< 900000 so this rule alone passes)
+    assert rows[3]["bullet_frac_e6"] == 2 * 1000000 // 3
+    # ellipsis-ended lines: 2 of 3 -> 666666 e6, over the 30% bar
+    r4 = rows[4]
+    assert r4["ellipsis_frac_e6"] == 2 * 1000000 // 3 and r4["passes"] == 0
+    # symbols: '###' = 3 hashes per word -> ratio 3.0 >> 0.1; also no letters
+    r5 = rows[5]
+    assert r5["symbol_ratio_e6"] == 3_000_000
+    assert r5["alpha_frac_e6"] == 0 and r5["passes"] == 0
+
+
+def test_badwords_gate_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "clean words only here"),               # 0/4
+         (2, "slow merge dup scan error batch"),     # 3/6 = 50%
+         (3, "slower dupes errors stay clean"),      # substrings don't trip
+         (4, " ".join(["fine"] * 99 + ["slow"]))],   # 1/100 = 1% <= 4%
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in T.badwords_gate(df).collect()}
+    assert (rows[1]["n_bad"], rows[1]["kept"]) == (0, 1)
+    assert (rows[2]["n_bad"], rows[2]["bad_rate_e6"], rows[2]["kept"]) == \
+        (3, 500000, 0)
+    assert (rows[3]["n_bad"], rows[3]["kept"]) == (0, 1)
+    assert (rows[4]["n_bad"], rows[4]["bad_rate_e6"], rows[4]["kept"]) == \
+        (1, 10000, 1)
