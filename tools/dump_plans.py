@@ -30,7 +30,8 @@ SHOW = ["q1_pricing_summary", "q3_shipping_priority", "anti_join_unprocessed",
         "salted_join_skew", "bloom_gate", "tfidf_topterms",
         "timeseries_gapfill", "vocab_topk", "sample_weighted_per_lang",
         "scd2_history", "graph_triangles", "rrf_fusion", "event_funnel",
-        "histogram_numeric"]
+        "histogram_numeric", "gopher_rules", "sitemap_urls",
+        "order_share_of_priority"]
 
 
 def plan_of(df) -> str:
