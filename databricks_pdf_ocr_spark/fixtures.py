@@ -538,6 +538,70 @@ def warc_corpus_segments(seed: int, n_segments: int = 6,
                                             recs_per_segment)]
 
 
+def wet_corpus_records(seed: int, n_segments: int = 4,
+                       recs_per_segment: int = 10):
+    """Deterministic WET (extracted-text) segment corpus for the
+    ``wet_e2e`` oracle: ``conversion`` records whose bodies are plain
+    text — plus the shapes the mouth must filter or survive: a warcinfo
+    header per segment, interleaved raw ``response`` records (a WET
+    reader must ignore them), a BOM'd body, a latin-1 body with a
+    declared charset, and duplicate-URI re-conversions across segments
+    (latest WARC-Date wins).  Pure function of its arguments."""
+    segments = []
+    for s in range(n_segments):
+        rng = random.Random(f"{seed}:wet:{s}")
+        recs = [{"type": "warcinfo", "uri": None,
+                 "body": f"software: wet-fixture/{s}\r\n".encode()}]
+        for i in range(recs_per_segment):
+            uri = f"http://wet-site{s}.example/page{i}"
+            date = f"2026-0{1 + s % 3}-{10 + i:02d}T00:00:00Z"
+            r = rng.random()
+            if r < 0.55:
+                recs.append({"type": "conversion", "uri": uri,
+                             "body": _paragraph(rng, 2, 6).encode(),
+                             "date": date})
+            elif r < 0.65:   # BOM'd UTF-8 body (sniffer consumes the BOM)
+                recs.append({"type": "conversion", "uri": uri,
+                             "body": b"\xef\xbb\xbf"
+                             + _paragraph(rng, 1, 3).encode(),
+                             "date": date})
+            elif r < 0.75:   # declared latin-1
+                recs.append({"type": "conversion", "uri": uri,
+                             "body": f"café {_sentence(rng)}"
+                             .encode("latin-1"),
+                             "record_content_type":
+                                 "text/plain; charset=ISO-8859-1",
+                             "date": date})
+            elif r < 0.88:   # raw response record inside a WET set: skip
+                recs.append({"type": "response", "uri": uri,
+                             "body": _html_payload(rng).encode(),
+                             "http_content_type": "text/html; charset=utf-8",
+                             "date": date})
+            else:            # request record: skip
+                recs.append({"type": "request", "uri": uri,
+                             "body": b"GET / HTTP/1.1\r\n",
+                             "record_content_type":
+                                 "application/http; msgtype=request",
+                             "date": date})
+        # duplicate-URI re-conversion: later date must win
+        if s >= 1:
+            uri = f"http://wet-site{s - 1}.example/page0"
+            recs.append({"type": "conversion", "uri": uri,
+                         "body": f"reconverted by segment {s}: "
+                         f"{_sentence(rng)}".encode(),
+                         "date": f"2026-06-{10 + s:02d}T00:00:00Z"})
+        segments.append(recs)
+    return segments
+
+
+def wet_corpus_segments(seed: int, n_segments: int = 4) -> list[bytes]:
+    """The WET corpus as gzipped segment bytes (Common Crawl layout)."""
+    from .sources.warc import write_warc
+
+    return [write_warc(recs, gzip_per_record=True)
+            for recs in wet_corpus_records(seed, n_segments)]
+
+
 def jsonl_corpus_lines(seed: int = 42, n: int = 120) -> list[str]:
     """Deterministic JSONL crawl-dump lines: mostly valid documents with
     planted dirt — truncated JSON, missing url, missing text, empty

@@ -3005,6 +3005,33 @@ def warc_e2e(spark, sf_dir):
                     F.col("s.media_ref").alias("media_ref")))
 
 
+@register("wet_e2e", """
+SELECT doc_id, text
+FROM read_parquet('/root/repo/tests/data/golden_wet_e2e.parquet')
+""")
+def wet_e2e(spark, sf_dir):
+    """WET (extracted-text) sidecar mouth end-to-end: deterministic
+    ``.warc.wet.gz`` segments (conversion records, interleaved raw
+    response/request records to skip, BOM'd and declared-charset bodies,
+    duplicate-URI re-conversions) → streaming record parse →
+    ``wet_to_documents`` (latest capture wins, lossy decode) → flat
+    (doc_id, text) rows.
+
+    Oracle: the same segments through the pure parse single-process with
+    NO Spark (tools/make_golden_parquet.py → committed golden parquet) —
+    the same independent-golden contract as ``warc_e2e``."""
+    from . import fixtures
+    from .sources import warc as warc_src
+
+    segs = fixtures.wet_corpus_segments(seed=42, n_segments=4)
+    files = spark.createDataFrame(
+        [(f"mem:wet-{i:05d}.warc.wet.gz", b) for i, b in enumerate(segs)],
+        "path string, content binary").repartition(2)
+    docs = warc_src.wet_to_documents(warc_src.warc_records(files))
+    return docs.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("text"))
+
+
 @register("warc_outlink_hosts", """
 SELECT host, n_links
 FROM read_parquet('/root/repo/tests/data/golden_warc_outlinks.parquet')

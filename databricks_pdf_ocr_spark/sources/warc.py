@@ -310,7 +310,7 @@ def sniff_charset(payload: bytes, content_type: str | None) -> str:
     (``<meta charset=…>`` / ``http-equiv`` form) — header-only
     resolution mojibakes those."""
     if payload[:3] == b"\xef\xbb\xbf":
-        return "utf-8"
+        return "utf-8-sig"              # codec consumes the BOM
     if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "utf-16"                 # codec consumes the BOM
     if content_type and _CHARSET_RE.search(content_type):
@@ -514,6 +514,46 @@ def warc_to_documents(records: DataFrame,
             .select(*cols))
 
 
+def wet_to_documents(records: DataFrame,
+                     with_uri: bool = False) -> DataFrame:
+    """WET sidecar mouth: Common Crawl ships ``*.warc.wet.gz`` segments
+    whose ``conversion`` records carry ALREADY-EXTRACTED plain text (no
+    HTTP framing — the record body IS the document).  Projects them onto
+    the same interleaved-documents contract as ``warc_to_documents`` so
+    both mouths feed one pipeline; a WET-first ingest skips the HTML
+    boilerplate strip entirely.
+
+    Same identity rules as the raw mouth: doc_id = sha256(target_uri),
+    latest (WARC-Date, record-id) capture per URI wins before projection.
+    Charset: WET is UTF-8 by spec, but the decode stays the same sniffing
+    lossy pandas-UDF path (BOM > record Content-Type ``charset=`` >
+    utf-8) — a dirty byte degrades one document, never the job.
+
+    Scale shape: filter → one window shuffle on target_uri → narrow
+    decode projection; same plan as the raw mouth minus the HTTP split.
+    """
+    wet_like = (F.col("parse_ok")
+                & (F.col("warc_type") == "conversion")
+                & F.col("content_type").rlike("(?i)^text/plain")
+                & F.col("target_uri").isNotNull())
+    win = (Window.partitionBy("target_uri")
+           .orderBy(F.col("warc_date").desc_nulls_last(),
+                    F.col("record_id").desc_nulls_last()))
+    cols = [
+        F.sha2(F.col("target_uri"), 256).alias("doc_id"),
+        F.array(F.struct(
+            F.lit("text").alias("kind"),
+            decoded_text(ctype_col="content_type").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans")]
+    if with_uri:
+        cols.append(F.col("target_uri"))
+    return (records.filter(wet_like)
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") == 1)
+            .select(*cols))
+
+
 # ---------------------------------------------------------------------------
 # Writer (test fixture generator — spec-conformant WARC 1.1)
 # ---------------------------------------------------------------------------
@@ -552,12 +592,19 @@ def write_warc(records: list[dict], gzip_per_record: bool = True) -> bytes:
                     + extra + "\r\n").encode() + body
         rid = "<urn:uuid:" + hashlib.sha256(
             f"{i}:{r.get('uri')}".encode()).hexdigest()[:32] + ">"
+        rtype = r.get("type", "response")
+        # the record's own Content-Type: HTTP envelope for responses,
+        # the body's media type otherwise (WET conversion = text/plain)
+        rct = ("application/http; msgtype=response" if rtype == "response"
+               else r.get("record_content_type",
+                          "text/plain" if rtype == "conversion"
+                          else "application/warc-fields"))
         hdr = (f"WARC/1.1\r\n"
-               f"WARC-Type: {r.get('type', 'response')}\r\n"
+               f"WARC-Type: {rtype}\r\n"
                f"WARC-Record-ID: {rid}\r\n"
                f"WARC-Date: {r.get('date', '2026-01-01T00:00:00Z')}\r\n"
                + (f"WARC-Target-URI: {r['uri']}\r\n" if r.get("uri") else "")
-               + f"Content-Type: application/http; msgtype=response\r\n"
+               + f"Content-Type: {rct}\r\n"
                f"Content-Length: {len(body)}\r\n\r\n").encode()
         rec = hdr + body + b"\r\n\r\n"
         out.write(gzip.compress(rec) if gzip_per_record else rec)

@@ -393,3 +393,54 @@ def test_zstd_segment_rejected_loudly(spark, tmp_path):
     errs = [r for r in recs if not r["parse_ok"]]
     assert len(errs) == 1 and "zstandard" in errs[0]["error_message"]
     assert any(r["parse_ok"] for r in recs)      # the good segment landed
+
+
+def test_wet_to_documents_semantics(spark):
+    """WET mouth: conversion records only, latest capture wins, BOM
+    consumed, declared charset honored, response/request records and
+    non-text conversions skipped."""
+    recs = [
+        {"type": "conversion", "uri": "http://w.example/a",
+         "body": b"extracted plain text", "date": "2026-01-01T00:00:00Z"},
+        # re-conversion of the same URI, later date: must win
+        {"type": "conversion", "uri": "http://w.example/a",
+         "body": b"newer conversion", "date": "2026-02-01T00:00:00Z"},
+        # BOM'd body: BOM consumed by the sniffer
+        {"type": "conversion", "uri": "http://w.example/bom",
+         "body": b"\xef\xbb\xbfbom body"},
+        # declared latin-1
+        {"type": "conversion", "uri": "http://w.example/l1",
+         "body": "café".encode("latin-1"),
+         "record_content_type": "text/plain; charset=ISO-8859-1"},
+        # skipped: raw response interleaved in the set
+        {"type": "response", "uri": "http://w.example/raw",
+         "body": b"<html><p>raw</p></html>",
+         "http_content_type": "text/html"},
+        # skipped: non-text conversion
+        {"type": "conversion", "uri": "http://w.example/bin",
+         "body": b"\x00\x01", "record_content_type": "application/pdf"},
+    ]
+    seg = warc.write_warc(recs, gzip_per_record=True)
+    files = spark.createDataFrame([("mem:wet-0.warc.wet.gz", seg)],
+                                  "path string, content binary")
+    docs = warc.wet_to_documents(warc.warc_records(files), with_uri=True)
+    rows = {r["target_uri"]: r for r in docs.collect()}
+    assert set(rows) == {"http://w.example/a", "http://w.example/bom",
+                         "http://w.example/l1"}
+    by_uri = {u: r["spans"][0]["text"] for u, r in rows.items()}
+    assert by_uri["http://w.example/a"] == "newer conversion"
+    assert by_uri["http://w.example/bom"] == "bom body"
+    assert by_uri["http://w.example/l1"] == "café"
+    for r in rows.values():
+        assert r["spans"][0]["kind"] == "text"
+        assert r["spans"][0]["offset"] == 0
+
+
+def test_wet_golden_is_fresh():
+    """Committed WET golden equals a fresh single-process regeneration."""
+    import pyarrow.parquet as pq
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import make_golden_parquet as G
+    assert pq.read_table(G.WET_GOLDEN_PATH).equals(G.wet_golden_table())

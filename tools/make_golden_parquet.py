@@ -165,6 +165,48 @@ def warc_golden_table() -> pa.Table:
     })
 
 
+#: must mirror queries.wet_e2e exactly
+WET_SEED, WET_SEGMENTS = 42, 4
+
+WET_GOLDEN_PATH = Path(__file__).resolve().parent.parent / "tests" / \
+    "data" / "golden_wet_e2e.parquet"
+
+
+def wet_golden_table() -> pa.Table:
+    """Single-process truth for the WET mouth: the deterministic WET
+    segments parsed with the pure kernels (no Spark), mirroring
+    ``warc.wet_to_documents`` — conversion/text-plain records only,
+    latest (WARC-Date, record-id) capture per URI, charset-aware lossy
+    decode of the raw record body (no HTTP split)."""
+    import hashlib
+    import re
+
+    from databricks_pdf_ocr_spark.sources import warc as W
+
+    caps: dict[str, tuple] = {}        # uri -> ((date, rid), ctype, body)
+    for seg in fixtures.wet_corpus_segments(WET_SEED, WET_SEGMENTS):
+        for rec in W.parse_warc(seg):
+            h = rec["headers"]
+            if h.get("warc-type") != "conversion":
+                continue
+            uri = h.get("warc-target-uri")
+            ct = h.get("content-type")
+            if uri is None or not (ct and re.match("(?i)^text/plain", ct)):
+                continue
+            key = (h.get("warc-date") or "", h.get("warc-record-id") or "")
+            if uri not in caps or key > caps[uri][0]:
+                caps[uri] = (key, ct, rec["body"])
+    doc_ids, texts = [], []
+    for uri in sorted(caps):
+        _key, ct, body = caps[uri]
+        doc_ids.append(hashlib.sha256(uri.encode()).hexdigest())
+        texts.append(W.decode_payload(body, ct))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
 #: must mirror queries.warc_outlink_hosts exactly
 OUTLINK_RE = r"(?i)href\s*=\s*[\"']https?://([^/\"'>]+)"
 
@@ -482,6 +524,7 @@ def main(argv=None) -> int:
     for path, table in ((GOLDEN_PATH, golden_table()),
                         (PDFIMG_GOLDEN_PATH, pdf_images_golden_table()),
                         (WARC_GOLDEN_PATH, warc_golden_table()),
+                        (WET_GOLDEN_PATH, wet_golden_table()),
                         (OUTLINK_GOLDEN_PATH, warc_outlinks_golden_table()),
                         (ANCHOR_GOLDEN_PATH, warc_anchors_golden_table()),
                         (LINKGRAPH_GOLDEN_PATH,
