@@ -65,7 +65,8 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     decoder), so every still-image web format decodes for real; video
     codecs beyond MJPEG stay deliberately loud so nobody mistakes the
     fake for them."""
-    from ..functions import bmpmini, gifmini, jpegmini, pngmini, webpmini
+    from ..functions import (bmpmini, gifmini, jpegmini, pngmini, tiffmini,
+                             webpmini)
     if payload[:8] == pngmini.PNG_SIG:
         w, h, _channels, _pix = pngmini.decode_png(payload)
         return "png", w, h
@@ -81,10 +82,13 @@ def _decode_image_real(payload: bytes) -> tuple[str, int, int]:
     if bmpmini.looks_like_bmp(payload):
         w, h, _channels, _pix = bmpmini.decode_bmp(payload)
         return "bmp", w, h
+    if tiffmini.looks_like_tiff(payload):
+        w, h, _channels, _pix = tiffmini.decode_tiff(payload)
+        return "tiff", w, h
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF/WebP/BMP codecs (video) need imaging libraries "
-        "not installed in this container; the deterministic fake "
-        "decoder is the hermetic test path for those")
+        "non-PNG/JPEG/GIF/WebP/BMP/TIFF codecs (video) need imaging "
+        "libraries not installed in this container; the deterministic "
+        "fake decoder is the hermetic test path for those")
 
 
 def _sniff_bmp(payload: bytes) -> bool:
@@ -207,17 +211,21 @@ def decode_media(df: DataFrame, content_col: str = "content",
                         out["decode_ok"].append(False)
                         out["error_message"].append(str(e))
                         continue
-                elif _sniff_bmp(payload):
-                    # real decode path (pure stdlib+numpy bmpmini): all
-                    # DIB variants, palette/bitfields/RLE legs ('BM' alone
-                    # is a weak magic — looks_like_bmp's DIB-size sniff
-                    # gates it, so non-BMP 'BM…' payloads still route to
-                    # the fake)
+                elif _sniff_bmp(payload) or payload[:4] in (
+                        b"II*\x00", b"MM\x00*"):
+                    # real decode path (pure stdlib+numpy bmpmini /
+                    # tiffmini): all DIB variants, palette/bitfields/RLE
+                    # legs ('BM' alone is a weak magic — looks_like_bmp's
+                    # DIB-size sniff gates it, so non-BMP 'BM…' payloads
+                    # still route to the fake); TIFF strips with
+                    # none/LZW/Deflate/PackBits + predictor
                     try:
                         fmt, w, h = _decode_image_real(payload)
                         dur = 0
                     except Exception as e:
-                        out["format"].append("bmp")
+                        out["format"].append(
+                            "tiff" if payload[:2] in (b"II", b"MM")
+                            else "bmp")
                         out["width"].append(0)
                         out["height"].append(0)
                         out["duration_ms"].append(0)
@@ -290,7 +298,8 @@ def resize_media(df: DataFrame, content_col: str = "content",
     with the reason — the pipeline-continues error contract.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import bmpmini, gifmini, jpegmini, pngmini, webpmini
+        from ..functions import (bmpmini, gifmini, jpegmini, pngmini,
+                                 tiffmini, webpmini)
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "format", "width", "height",
@@ -321,10 +330,12 @@ def resize_media(df: DataFrame, content_col: str = "content",
                     fmt = "gif"
                 elif bmpmini.looks_like_bmp(payload):
                     fmt = "bmp"
+                elif tiffmini.looks_like_tiff(payload):
+                    fmt = "tiff"
                 else:
                     emit(mid, None, 0, 0, 0, 0, None, False,
-                         "unsupported codec (PNG, JPEG, GIF, WebP and BMP "
-                         "decode hermetically)")
+                         "unsupported codec (PNG, JPEG, GIF, WebP, BMP and "
+                         "TIFF decode hermetically)")
                     continue
                 try:
                     if fmt == "png":
@@ -335,6 +346,8 @@ def resize_media(df: DataFrame, content_col: str = "content",
                         w, h, ch, pix = gifmini.decode_gif(payload)
                     elif fmt == "bmp":
                         w, h, ch, pix = bmpmini.decode_bmp(payload)
+                    elif fmt == "tiff":
+                        w, h, ch, pix = tiffmini.decode_tiff(payload)
                     else:
                         w, h, ch, pix = jpegmini.decode_jpeg(payload)
                     if max(w, h) > max_edge:
