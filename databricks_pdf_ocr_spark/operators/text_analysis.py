@@ -674,6 +674,55 @@ def compression_signal(df: DataFrame, id_col: str = "doc_id",
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All Gopher rule counts appended as ``__``-prefixed columns with
+    the original columns preserved (the curation job filters in place —
+    a derive-and-join-back would shuffle the corpus text at 100 TB).
+    The token/line arrays are materialized in their own projections and
+    the HOF lambdas reference the attributes (an inlined split()
+    re-evaluates PER ELEMENT)."""
+    d = (df.withColumn("__toks", F.split(F.lower(F.col(text_col)), " "))
+         .withColumn("__lines", F.split(F.col(text_col), "\n")))
+    return (d
+            .withColumn("__n_words", F.size("__toks").cast("long"))
+            .withColumn("__sum_chars", F.aggregate(
+                F.transform("__toks", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x))
+            .withColumn("__n_hash",
+                        (F.length(text_col)
+                         - F.length(F.expr(f"replace({text_col}, '#', '')")))
+                        .cast("long"))
+            .withColumn("__n_ell", F.expr(
+                f"CAST((length({text_col}) - "
+                f"length(replace({text_col}, '...', ''))) div 3 AS BIGINT)"))
+            .withColumn("__n_alpha",
+                        F.size(F.filter("__toks",
+                                        lambda x: x.rlike("[a-zA-Z]")))
+                        .cast("long"))
+            .withColumn("__n_stop",
+                        F.size(F.filter("__toks", _in_set(_GOPHER_STOPS)))
+                        .cast("long"))
+            .withColumn("__n_lines", F.size("__lines").cast("long"))
+            .withColumn("__n_bullet", F.size(F.filter(
+                "__lines",
+                lambda x: (x.startswith("- ") | x.startswith("* ")
+                           | x.startswith("• ")))).cast("long"))
+            .withColumn("__n_ellline", F.size(F.filter(
+                "__lines", lambda x: x.endswith("...") | x.endswith("…")))
+                .cast("long")))
+
+
+#: combined rule flag over _gopher_counts columns (scaled-int compares only)
+_GOPHER_PASS_SQL = (
+    "CAST(__n_words BETWEEN 50 AND 100000"
+    " AND (__sum_chars * 1000000) div __n_words BETWEEN 3000000 AND 10000000"
+    " AND ((__n_hash + __n_ell) * 1000000) div __n_words <= 100000"
+    " AND (__n_alpha * 1000000) div __n_words >= 800000"
+    " AND __n_stop >= 2"
+    " AND (__n_bullet * 1000000) div __n_lines < 900000"
+    " AND (__n_ellline * 1000000) div __n_lines < 300000 AS INT)")
+
+
 def gopher_rules(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Gopher-style quality rule battery (Rae et al. 2021, App. A1.1):
@@ -684,56 +733,33 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
 
     Every ratio is exact integer micro-units (``(a * 1e6) div b``) so the
     signals and the flag are bit-identical across engines — the flag
-    compares scaled integers, never doubles.  The token/line arrays are
-    materialized in their own projection and the HOF lambdas reference
-    the attributes (an inlined split() re-evaluates PER ELEMENT).  Scale
-    shape: one narrow projection, zero shuffle, pure JVM codegen.
+    compares scaled integers, never doubles.  Scale shape: one narrow
+    projection chain, zero shuffle, pure JVM codegen.
     """
-    base = df.select(
-        F.col(id_col), F.col(text_col).alias("__text"),
-        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
-        F.split(F.col(text_col), "\n").alias("__lines"))
-    counts = base.select(
-        F.col(id_col),
-        F.size("__toks").cast("long").alias("n_words"),
-        F.aggregate(F.transform("__toks", lambda x: F.length(x).cast("long")),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x).alias("sum_chars"),
-        (F.length("__text") - F.length(F.expr("replace(__text, '#', '')")))
-        .cast("long").alias("n_hash"),
-        F.expr("CAST((length(__text) - length(replace(__text, '...', '')))"
-               " div 3 AS BIGINT)").alias("n_ell"),
-        F.size(F.filter("__toks", lambda x: x.rlike("[a-zA-Z]")))
-        .cast("long").alias("n_alpha"),
-        F.size(F.filter("__toks", _in_set(_GOPHER_STOPS)))
-        .cast("long").alias("n_stop"),
-        F.size("__lines").cast("long").alias("n_lines"),
-        F.size(F.filter(
-            "__lines",
-            lambda x: (x.startswith("- ") | x.startswith("* ")
-                       | x.startswith("• "))))
-        .cast("long").alias("n_bullet"),
-        F.size(F.filter(
-            "__lines", lambda x: x.endswith("...") | x.endswith("…")))
-        .cast("long").alias("n_ellline"))
+    counts = _gopher_counts(df.select(id_col, text_col), text_col)
     return counts.select(
-        F.col(id_col), "n_words",
-        F.expr("(sum_chars * 1000000) div n_words").alias("mean_word_len_e6"),
-        F.expr("((n_hash + n_ell) * 1000000) div n_words")
+        F.col(id_col),
+        F.col("__n_words").alias("n_words"),
+        F.expr("(__sum_chars * 1000000) div __n_words")
+        .alias("mean_word_len_e6"),
+        F.expr("((__n_hash + __n_ell) * 1000000) div __n_words")
         .alias("symbol_ratio_e6"),
-        F.expr("(n_alpha * 1000000) div n_words").alias("alpha_frac_e6"),
-        F.col("n_stop"),
-        F.expr("(n_bullet * 1000000) div n_lines").alias("bullet_frac_e6"),
-        F.expr("(n_ellline * 1000000) div n_lines").alias("ellipsis_frac_e6"),
-        F.expr(
-            "CAST(n_words BETWEEN 50 AND 100000"
-            " AND (sum_chars * 1000000) div n_words BETWEEN 3000000 AND 10000000"
-            " AND ((n_hash + n_ell) * 1000000) div n_words <= 100000"
-            " AND (n_alpha * 1000000) div n_words >= 800000"
-            " AND n_stop >= 2"
-            " AND (n_bullet * 1000000) div n_lines < 900000"
-            " AND (n_ellline * 1000000) div n_lines < 300000 AS INT)")
-        .alias("passes"))
+        F.expr("(__n_alpha * 1000000) div __n_words").alias("alpha_frac_e6"),
+        F.col("__n_stop").alias("n_stop"),
+        F.expr("(__n_bullet * 1000000) div __n_lines")
+        .alias("bullet_frac_e6"),
+        F.expr("(__n_ellline * 1000000) div __n_lines")
+        .alias("ellipsis_frac_e6"),
+        F.expr(_GOPHER_PASS_SQL).alias("passes"))
+
+
+def with_gopher_flag(df: DataFrame, text_col: str = "text",
+                     flag_col: str = "gopher_passes") -> DataFrame:
+    """All original columns + the combined Gopher flag — the in-place
+    curation-stage form (filter → drop, no join-back shuffle)."""
+    counts = _gopher_counts(df, text_col)
+    return (counts.withColumn(flag_col, F.expr(_GOPHER_PASS_SQL))
+            .drop(*[c for c in counts.columns if c.startswith("__")]))
 
 
 #: blocklist drawn from the fixture vocabulary so the gate discriminates
@@ -763,3 +789,20 @@ def badwords_gate(df: DataFrame, id_col: str = "doc_id",
         F.expr("(n_bad * 1000000) div n_tokens").alias("bad_rate_e6"),
         F.expr(f"CAST((n_bad * 1000000) div n_tokens <= {max_rate_e6} "
                "AS INT)").alias("kept"))
+
+
+def with_badwords_flag(df: DataFrame, text_col: str = "text",
+                       badwords: tuple[str, ...] = _BADWORDS,
+                       max_rate_e6: int = 40000,
+                       flag_col: str = "badwords_kept") -> DataFrame:
+    """All original columns + the blocklist keep flag — the in-place
+    curation-stage form (filter → drop, no join-back shuffle)."""
+    d = (df.withColumn("__toks", F.split(F.lower(F.col(text_col)), " "))
+         .withColumn("__n_tokens", F.size("__toks").cast("long"))
+         .withColumn("__n_bad",
+                     F.size(F.filter("__toks", _in_set(badwords)))
+                     .cast("long")))
+    return (d.withColumn(flag_col, F.expr(
+                f"CAST((__n_bad * 1000000) div __n_tokens <= {max_rate_e6} "
+                "AS INT)"))
+            .drop("__toks", "__n_tokens", "__n_bad"))

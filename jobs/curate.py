@@ -89,6 +89,19 @@ def run_curate(spark, args) -> dict:
     gated = enriched.filter(F.col("quality_score_e6") >= args.min_quality)
     extra_stats: dict = {}
 
+    # -- optional rule gates: Gopher battery + C4-style blocklist, both
+    # in-place flag columns (filter → drop — a derive-and-join-back would
+    # shuffle the corpus text; these stay inside the narrow feature stage)
+    if args.gopher:
+        gated = (text_analysis.with_gopher_flag(gated)
+                 .filter(F.col("gopher_passes") == 1).drop("gopher_passes"))
+        extra_stats["gopher"] = True
+    if args.badwords_max_e6 >= 0:
+        gated = (text_analysis.with_badwords_flag(
+                     gated, max_rate_e6=args.badwords_max_e6)
+                 .filter(F.col("badwords_kept") == 1).drop("badwords_kept"))
+        extra_stats["badwords_max_e6"] = args.badwords_max_e6
+
     # -- optional learned quality gate: distill the heuristic rule into the
     # hashed feature space (train on high-heuristic-quality docs as weak
     # positives, the CCNet/GPT-3 curated-vs-crawl pattern) and drop docs
@@ -250,6 +263,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dsir-keep-pct", type=float, default=0.0,
                     help="keep this percent of docs by DSIR importance "
                          "weight toward the weak-positive slice (0 = off)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher quality-rule battery "
+                         "(Rae et al. 2021) as an in-place gate")
+    ap.add_argument("--badwords-max-e6", type=int, default=-1,
+                    help="drop docs whose blocklisted-token rate exceeds "
+                         "this (micro-units; -1 = off)")
     return ap
 
 

@@ -210,3 +210,38 @@ def test_curate_redact_pii_swaps_text_in_place(spark, tmp_path):
     assert "<EMAIL>" in row.text and "<IP>" in row.text
     assert "ops@example.com" not in row.text
     assert row.n_email == 1 and row.n_ip == 1 and row.n_phone == 0
+
+
+def test_curate_rule_gates(spark, curated_env):
+    """--gopher and --badwords-max-e6 drop in place (flag column form —
+    no join-back) and compose with the rest of the ladder."""
+    from databricks_pdf_ocr_spark.operators import text_analysis as T
+
+    rows, tables, out = curated_env
+    base = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_rg_base"]))
+    gp = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_rg_gopher", "--gopher"]))
+    assert 0 <= gp["docs"] <= base["docs"] and gp["gopher"] is True
+    bw = curate.run_curate(spark, curate.build_parser().parse_args(
+        ["--tables", tables, "--out", out + "_rg_bw",
+         "--badwords-max-e6", "1000000"]))       # 100% rate: keeps all
+    assert bw["docs"] == base["docs"]
+
+    # the flag forms agree with the oracled signal queries, keep every
+    # original column, and add no exchange to the plan
+    df = spark.createDataFrame(
+        [(1, "the data and that of sets have gone with " * 9, "en"),
+         (2, "tiny doc", "de")],
+        "doc_id long, text string, lang string")
+    flags = T.with_gopher_flag(df)
+    assert set(flags.columns) == {"doc_id", "text", "lang", "gopher_passes"}
+    sig = {r["doc_id"]: r["passes"] for r in T.gopher_rules(df).collect()}
+    assert {r["doc_id"]: r["gopher_passes"]
+            for r in flags.collect()} == sig
+    bflags = T.with_badwords_flag(df)
+    bsig = {r["doc_id"]: r["kept"] for r in T.badwords_gate(df).collect()}
+    assert {r["doc_id"]: r["badwords_kept"]
+            for r in bflags.collect()} == bsig
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
