@@ -4470,6 +4470,40 @@ def orc_roundtrip(spark, sf_dir):
     return spark.read.orc(d).select(*cols)
 
 
+@register("timeseries_locf", """
+WITH seq AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv,
+         ts
+  FROM events
+)
+SELECT user_id, event_id,
+       round(coalesce(last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 6)
+         AS locf_purchase_value
+FROM seq
+""")
+def timeseries_locf(spark, sf_dir):
+    """Last-observation-carried-forward fill (the hypertable ``locf()``
+    primitive — carry-forward twin of ``timeseries_gapfill``'s zero
+    fill): every event row sees the user's most recent purchase value.
+    ``last(..., ignorenulls)`` over a running row frame; the sparse
+    observation column is built with when/otherwise so ONE window pass
+    serves all rows — no self-join of observations onto the timeline
+    (that join would shuffle the corpus twice at 100 TB).  (ts,
+    event_id) ordering makes the frame deterministic; round(6) on the
+    carried raw value is representation-stable (no summation)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.coalesce(F.last(pv, ignorenulls=True).over(w),
+                           F.lit(-1.0)), 6).alias("locf_purchase_value"))
+
+
 @register("gopher_rules", """
 WITH base AS (
   SELECT doc_id, text, string_split(lower(text), ' ') AS t,
