@@ -4470,6 +4470,42 @@ def orc_roundtrip(spark, sf_dir):
     return spark.read.orc(d).select(*cols)
 
 
+@register("conversion_latency", """
+WITH a AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view')     AS first_view_ts,
+         min(ts) FILTER (event_type = 'purchase') AS first_purchase_ts
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(date_diff('microsecond', first_view_ts, first_purchase_ts)
+            AS BIGINT) AS convert_us
+FROM a
+WHERE first_view_ts IS NOT NULL AND first_purchase_ts IS NOT NULL
+  AND first_purchase_ts >= first_view_ts
+""")
+def conversion_latency(spark, sf_dir):
+    """First-view → first-purchase latency per user via CONDITIONAL
+    aggregation: one scan + one hash-agg computes both firsts
+    (min-over-when), where the naive form is two filtered scans joined
+    back — a second corpus read plus a shuffle at 100 TB.  Latency in
+    exact integer microseconds (timestampdiff; NTZ won't cast to long);
+    users who purchased before ever viewing are excluded on both sides."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_view_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("first_purchase_ts"))
+    return (a.filter(F.col("first_view_ts").isNotNull()
+                     & F.col("first_purchase_ts").isNotNull()
+                     & (F.col("first_purchase_ts")
+                        >= F.col("first_view_ts")))
+            .select("user_id",
+                    F.expr("timestampdiff(MICROSECOND, first_view_ts, "
+                           "first_purchase_ts)").cast("long")
+                    .alias("convert_us")))
+
+
 @register("timeseries_locf", """
 WITH seq AS (
   SELECT user_id, event_id,
