@@ -506,7 +506,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     any pipeline that DROPS documents must run (raw candidates include
     spurious near-zero-Jaccard collisions in every hash family).
     """
-    banded = minhash_banded(df, id_col, text_col, n, k, bands, hash_mode)
+    # materialize the banded signatures ONCE before the self-join: both
+    # join inputs are the same subtree, but Spark only reuses identical
+    # *exchanges* — when one side broadcasts (or the two sides prune
+    # differently) the signature pipeline (the mapInPandas Arrow kernel
+    # in production mode, the shingle explode in oracle mode) executes
+    # TWICE (verified: two MapInPandas nodes in the r06 before-plan).
+    # localCheckpoint computes it once; both sides read the materialized
+    # partitions.  Same rows, half the signature work.
+    banded = minhash_banded(df, id_col, text_col, n, k, bands,
+                            hash_mode).localCheckpoint()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
