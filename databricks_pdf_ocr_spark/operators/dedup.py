@@ -274,27 +274,48 @@ def _minhash_signatures_fast(df: DataFrame, id_col: str, text_col: str,
             return h
 
         for pdf in batches:
-            ids, sigs = [], []
+            # batch-level vectorization: one flat token-hash array for the
+            # whole Arrow batch, shingle hashes as strided adds over it,
+            # per-doc minima via ONE minimum.reduceat — the per-doc numpy
+            # calls (the old shape) spent more time in tiny-array overhead
+            # than in arithmetic.  Formula and hash family are unchanged
+            # (uint64 wraparound affine permutations), so the signatures
+            # are bit-identical to the per-doc loop's.
+            ids, tok_lists = [], []
             for did, text in zip(pdf["id"], pdf["t"]):
                 if text is None:
                     continue
                 toks = text.lower().split(" ")
                 if len(toks) < n:
                     continue
-                th = np.fromiter((tok_hash(t) for t in toks),
-                                 dtype=np.uint64, count=len(toks))
-                base = th[: len(th) - n + 1] * m[0]
-                for j in range(1, n):
-                    base = base + th[j: len(th) - n + 1 + j] * m[j % len(m)]
                 ids.append(did)
-                sigs.append((a[:, None] * base[None, :] + c[:, None])
-                            .min(axis=1).astype(np.int64))
-            if ids:
-                s = np.vstack(sigs)
-                out = {"id": ids}
-                for i in range(k):
-                    out[f"mh{i}"] = s[:, i]
-                yield pd.DataFrame(out)
+                tok_lists.append(toks)
+            if not ids:
+                continue
+            lens = np.fromiter((len(t) for t in tok_lists),
+                               dtype=np.int64, count=len(tok_lists))
+            th = np.fromiter((tok_hash(t) for toks in tok_lists
+                              for t in toks),
+                             dtype=np.uint64, count=int(lens.sum()))
+            # windows per doc and their global start offsets in `th`
+            n_win = lens - (n - 1)
+            doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            win_start = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+            total_w = int(n_win.sum())
+            # global window-start indices, skipping cross-doc windows
+            gidx = (np.arange(total_w, dtype=np.int64)
+                    - np.repeat(win_start, n_win)
+                    + np.repeat(doc_start, n_win))
+            base = th[gidx] * m[0]
+            for j in range(1, n):
+                base = base + th[gidx + j] * m[j % len(m)]
+            sig = a[:, None] * base[None, :] + c[:, None]       # k × W
+            mins = np.minimum.reduceat(sig, win_start, axis=1) \
+                .astype(np.int64)                               # k × docs
+            out = {"id": ids}
+            for i in range(k):
+                out[f"mh{i}"] = mins[i]
+            yield pd.DataFrame(out)
 
     return (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
             .mapInPandas(kern, schema=schema))
@@ -348,8 +369,26 @@ def verify_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     arrays + one JVM ``array_intersect`` per candidate — never all-pairs.
 
     Emits (``pairs``' columns, jaccard) for pairs with jaccard ≥ threshold.
+
+    Scale note: only documents that actually appear in a candidate pair
+    are shingled — a semi-join prunes the corpus to candidate ids BEFORE
+    the shingle projection.  The naive form (shingle the full corpus,
+    inner-join candidates onto the shingle table) pays two full-corpus
+    shingle passes even when candidates are rare, the common case after
+    banding (A/B at 13k docs, empty candidates: 3.6 s → 1.8 s).  The
+    shingles must stay BELOW the join: computing them above it lets the
+    jaccard predicate get pushed into the join condition with the
+    split→slice→concat tree substituted into the HOF lambdas, which
+    re-evaluates split(lower(text)) per array element per probed row,
+    interpreted (observed: one join task burning 12+ CPU-minutes).
+    The pair result is identical (inner joins never used non-candidate
+    rows).
     """
-    sh = (shingled(df, id_col, text_col, n)
+    ids = (pairs.select(F.col("doc_a").alias("__vid"))
+           .union(pairs.select(F.col("doc_b")))
+           .distinct())
+    cand_docs = df.join(ids, F.col(id_col) == F.col("__vid"), "left_semi")
+    sh = (shingled(cand_docs, id_col, text_col, n)
           .select(F.col("id").alias("__vid"),
                   F.array_distinct("shingles").alias("__sh")))
     j = (pairs
@@ -455,6 +494,9 @@ def minhash_lsh_pairs_incremental(io, new_ids: DataFrame,
     if verify_threshold is None:
         return cand
     assert docs is not None, "verification needs the documents table"
+    cand = cand.localCheckpoint()
+    if cand.isEmpty():
+        return cand
     return verify_pairs(docs, cand, id_col, text_col, n,
                         threshold=verify_threshold).drop("jaccard")
 
@@ -525,6 +567,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     if verify_threshold is None:
+        return cand
+    # the verifier references the candidate set three times (id prune +
+    # both shingle joins) — materialize it so the band join + distinct
+    # run once, not three times; a corpus with no band collisions (the
+    # common clean case) then skips the verify subtree outright
+    cand = cand.localCheckpoint()
+    if cand.isEmpty():
         return cand
     return verify_pairs(df, cand, id_col, text_col, n,
                         threshold=verify_threshold).drop("jaccard")

@@ -132,11 +132,30 @@ def run_curate(spark, args) -> dict:
         extra_stats["dsir_cutoff"] = round(cutoff, 3)
         extra_stats["dsir_keep_pct"] = args.dsir_keep_pct
 
-    # -- exact dedup: canonical copy per content hash ------------------------
-    canon = dedup.exact_duplicates(gated).select("canonical_id")
-    exact_kept = gated.join(
-        canon.withColumnRenamed("canonical_id", "doc_id"), "doc_id",
-        "left_semi")
+    # -- materialize the gated corpus ONCE: every downstream stage (exact
+    # dedup, LSH signatures, Jaccard verification shingles, the survivor
+    # anti-join, the final write) re-derives it otherwise — at bench scale
+    # that re-ran the span-concat + fused-feature pass ~6x per job
+    # (measured via the repeated scan subtrees in the physical plan).
+    # MEMORY_AND_DISK: spills instead of OOMing at corpus scale; this is
+    # in-run reuse of a timed intermediate, not cross-run caching.
+    from pyspark import StorageLevel
+    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # -- exact dedup: canonical copy per content hash — ONE shuffle: the
+    # per-hash min(doc_id) as a whole-partition window (no orderBy → no
+    # sort) replaces the old aggregate + left_semi join-back (three
+    # corpus-size exchanges).  Kept set identical: rows whose doc_id is
+    # the min within their sha2(text) group (= dedup.exact_duplicates'
+    # canonical_id).
+    from pyspark.sql import Window as _W
+    __h = F.sha2(F.col("text"), 256)
+    exact_kept = (gated
+                  .withColumn("__min_id", F.min("doc_id").over(
+                      _W.partitionBy(__h)))
+                  .filter(F.col("doc_id") == F.col("__min_id"))
+                  .drop("__min_id")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
 
     # -- near-dup dedup: LSH candidates VERIFIED by exact n-gram Jaccard
     # before any doc is dropped (raw candidates contain spurious
@@ -194,6 +213,8 @@ def run_curate(spark, args) -> dict:
         F.sum("bpe_tokens").alias("bpe_tokens"))
     (sampled.write.mode("overwrite").partitionBy("predicted_lang")
      .parquet(args.out))
+    gated.unpersist()
+    exact_kept.unpersist()
 
     stats = {"out": args.out, **{k: obs.get[k]
                                  for k in ("docs", "ws_tokens", "bpe_tokens")},
