@@ -65,14 +65,22 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     matches (same id) are excluded.  At 100 TB the corpus side stays
     partitioned and is scanned once; no shuffle of the big side.
     """
+    # norms hoisted OUT of the per-pair expression: cosine_sim inline
+    # would re-derive both norms for every (query, neighbor) pair —
+    # 2·dim·|Q|·|N| interpreted HOF work instead of dim·(|Q|+|N|).  The
+    # hoisted columns are the identical expressions over the identical
+    # arrays, so dot/(qn·nn) is bit-equal to the inline form.
     q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
-                                   F.col(vec_col).alias("qvec")))
+                                   F.col(vec_col).alias("qvec"))
+                    .withColumn("__qn", _norm(F.col("qvec"))))
     pairs = embeddings.select(F.col(id_col).alias("neighbor_id"),
                               F.col(vec_col).alias("nvec")) \
+        .withColumn("__nn", _norm(F.col("nvec"))) \
         .crossJoin(q) \
         .filter(F.col("neighbor_id") != F.col("query_id")) \
         .select("query_id", "neighbor_id",
-                F.round(cosine_sim(F.col("qvec"), F.col("nvec")), 6)
+                F.round(_dot(F.col("qvec"), F.col("nvec"))
+                        / (F.col("__qn") * F.col("__nn")), 6)
                 .alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))

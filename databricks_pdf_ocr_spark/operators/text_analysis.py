@@ -522,7 +522,13 @@ def bigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
                    F.col("bg.w2s").alias("w2")))
     bg_lm = big.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c12"))
-    ctx = big.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    # context counts DERIVE from the bigram table (c1 = Σ_w2 c12) — one
+    # fewer corpus-wide explode+aggregate pass than grouping the bigram
+    # stream a second time; exact integer equality.  (A tempting further
+    # step — pre-aggregating per-(doc, bigram) counts and weighting the
+    # mean — measured SLOWER: it trades cheap explode passes for an
+    # extra full-size (id,w1,w2) exchange with no map-side collapse.)
+    ctx = bg_lm.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     uni = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w2"))
            .groupBy("w2").agg(F.count("*").cast("long").alias("c2")))
     tot = uni.agg(F.sum("c2").cast("long").alias("tot"))

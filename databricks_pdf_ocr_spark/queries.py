@@ -86,8 +86,12 @@ def q3_shipping_priority(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # selective dim filter FIRST: orders ⋈ broadcast(customer) drops
+    # ~80% of orders before the fact join, so the lineitem⋈orders
+    # exchange carries a 5x smaller build side (and AQE can pick a
+    # broadcast for it at runtime).  Same rows — inner joins commute.
+    o_bldg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(o_bldg, li.l_orderkey == o_bldg.o_orderkey)
             .groupBy("o_orderkey")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                  .alias("revenue"))
@@ -2891,27 +2895,39 @@ def span_reassembly(spark, sf_dir):
     them (storage order destroyed), run the engine's explode → group →
     array_sort reassembly, and re-join the text.  Byte-equality with the
     original column proves offset-sorted reassembly is lossless."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    # token array materialized in its own projection: an inline split()
+    # referenced from the chunking lambda re-evaluates PER ELEMENT (the
+    # HOF re-eval trap) — ~n_chunks split calls per doc otherwise
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(5)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
-            F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)).alias("chunk_text"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), i * 5 + 1, 5))
+            .alias("chunk_text"),
             i.cast("int").alias("offset")))
-    # destroy order deterministically: sort spans by a hash of their text
+    # destroy order deterministically: sort spans by a hash of their
+    # content.  The hash is ONLY an internal ordering key (never output),
+    # so JVM-native xxhash64 replaces sha2 — same arbitrary-order
+    # property, no 64-hex string materialization per span.
+    staged = docs.select("doc_id", chunks.alias("__chunks"))
     shuffled = F.array_sort(
-        F.transform(chunks, lambda c: F.struct(
-            F.sha2(F.concat_ws(":", c["chunk_text"],
-                               c["offset"].cast("string")), 256).alias("shufkey"),
+        F.transform(F.col("__chunks"), lambda c: F.struct(
+            F.xxhash64(c["chunk_text"], c["offset"]).alias("shufkey"),
             c["chunk_text"].alias("chunk_text"),
             c["offset"].alias("offset"))))
-    spans = (docs.select("doc_id", F.explode(shuffled).alias("s"))
+    spans = (staged.select("doc_id", F.explode(shuffled).alias("s"))
              .select("doc_id", F.col("s.chunk_text").alias("chunk_text"),
                      F.col("s.offset").alias("offset")))
-    # engine reassembly path: group → collect → array_sort by offset → join
+    # engine reassembly path: group → collect → array_sort by offset →
+    # join.  Repartition width follows the session's shuffle
+    # parallelism (a hard-coded 8 starved the partial collect_list to 8
+    # tasks on 32 cores); the key set (doc_id, offset) — arbitrary
+    # placement — is what the contract simulates, not the width.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (spans
-            .repartition(8, "doc_id", "offset")  # simulate arbitrary placement
+            .repartition(n_part, "doc_id", "offset")  # arbitrary placement
             .groupBy("doc_id")
             .agg(F.array_join(
                 F.transform(
