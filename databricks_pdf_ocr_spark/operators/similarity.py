@@ -512,6 +512,37 @@ def _banded(df: DataFrame, idc: str, vc: str, out_id: str, dim: int,
                      F.posexplode(bandv).alias("band_idx", "band_val"))
 
 
+def _score_banded_candidates(joined: DataFrame, k: int) -> DataFrame:
+    """Band-join candidate rows → exact top-k, shuffling SCORES not
+    vectors: the old shape deduplicated band collisions with a
+    ``distinct`` that carried BOTH embedding arrays through its exchange
+    (~20x the bytes of the ids), then ranked with a row_number window
+    (a second exchange + full sort).  Here the cosine is computed on the
+    band-duplicate rows (≤ bands copies, all identical — the join output
+    is still co-located with the corpus scan), deduplicated by a
+    (query, neighbor) hash-agg over 3-column rows, and the per-query
+    top-k is array_sort + slice inside ONE more hash-agg — each query
+    sorts only its own candidate list, no partition-wide sort.
+    Ordering key (-cosine, neighbor_id) ascending == the old window's
+    (cosine desc, neighbor_id asc); negation is exact, so ranks and
+    emitted values are unchanged."""
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_sim(F.col("query_id_v"), F.col("neighbor_id_v")), 6)
+        .alias("cosine"))
+    uniq = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine"))       # duplicates are identical
+    top = F.slice(F.array_sort(F.collect_list(
+        F.struct((-F.col("cosine")).alias("nc"), F.col("neighbor_id")))),
+        1, k)
+    return (uniq.groupBy("query_id").agg(top.alias("__t"))
+            .select("query_id", F.posexplode("__t").alias("pos", "t"))
+            .select("query_id",
+                    F.col("t.neighbor_id").alias("neighbor_id"),
+                    (F.col("pos") + 1).cast("int").alias("rank"),
+                    (-F.col("t.nc")).alias("cosine")))
+
+
 def build_lsh_index(embeddings: DataFrame, io, table: str = "lsh_index",
                     dim: int = 16, n_planes: int = 12, bands: int = 3,
                     id_col: str = "vec_id",
@@ -560,20 +591,9 @@ def lsh_ann_topk_indexed(io, queries: DataFrame, k: int = 5,
     c = io.read(table)
     q = F.broadcast(_banded(queries, qid_col, vec_col, "query_id",
                             dim, n_planes, bands))
-    cands = (c.join(q, ["band_idx", "band_val"])
-             .filter(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id", "query_id_v",
-                     "neighbor_id_v")
-             .distinct())
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        F.round(cosine_sim(F.col("query_id_v"), F.col("neighbor_id_v")), 6)
-        .alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cosine"))
+    return _score_banded_candidates(
+        c.join(q, ["band_idx", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id")), k)
 
 
 def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -593,19 +613,9 @@ def lsh_ann_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 dim, n_planes, bands)
     q = F.broadcast(_banded(queries, qid_col, vec_col, "query_id",
                             dim, n_planes, bands))
-    cands = (c.join(q, ["band_idx", "band_val"])
-             .filter(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
-             .distinct())
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        F.round(cosine_sim(F.col("query_id_v"), F.col("neighbor_id_v")), 6)
-        .alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cosine"))
+    return _score_banded_candidates(
+        c.join(q, ["band_idx", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id")), k)
 
 
 # ---------------------------------------------------------------------------

@@ -108,12 +108,19 @@ def tfidf_topterms(docs: DataFrame, k: int = 3,
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0)
                                 / (F.col("df") + 1))
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(
-        score.desc(), F.col("word"))
+    # per-doc top-k WITHOUT a window: a row_number window must exchange
+    # AND fully sort the (doc, term) table; a hash-agg collect_list +
+    # array_sort + slice gets partial aggregation map-side and sorts
+    # only each doc's own (tens of) terms.  Ordering key (-score, word)
+    # ascending == (score desc, word asc), the window's order; IDF ≥ 0
+    # so the negation is exact and -0.0 compares equal to 0.0.
+    top = F.slice(F.array_sort(F.collect_list(
+        F.struct((-score).alias("ns"), F.col("word")))), 1, k)
     return (tf.join(dfreq, "word")
             .crossJoin(F.broadcast(n))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select(id_col, "word",
-                    F.floor(score * 1e6).cast("long").alias("tfidf_e6")))
+            .groupBy(id_col)
+            .agg(top.alias("__top"))
+            .select(id_col, F.explode("__top").alias("t"))
+            .select(id_col, F.col("t.word").alias("word"),
+                    F.floor(-F.col("t.ns") * 1e6).cast("long")
+                    .alias("tfidf_e6")))

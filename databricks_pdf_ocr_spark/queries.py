@@ -219,13 +219,19 @@ SELECT user_id, event_id, event_type FROM (
   FROM events) WHERE rn = 1
 """)
 def window_latest_event(spark, sf_dir):
-    """W (SURVEY.md §2.5) — latest-per-key dedup window, the latest-wins
-    read replacing the reference's overwrite-update (managers/state.py:64-73)."""
-    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    """W (SURVEY.md §2.5) — latest-per-key dedup, the latest-wins read
+    replacing the reference's overwrite-update (managers/state.py:64-73).
+    Shape: ``max_by`` over the (ts, event_id) struct — ONE hash
+    aggregate with map-side partial aggregation instead of the
+    row_number window's exchange + full per-partition sort; the argmax
+    row is the window's rn=1 row exactly (lexicographic struct order =
+    the window's ORDER BY ts DESC, event_id DESC)."""
+    best = F.max_by(F.struct("event_id", "event_type"),
+                    F.struct("ts", "event_id"))
     return (_t(spark, sf_dir, "events")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "event_type"))
+            .groupBy("user_id").agg(best.alias("__b"))
+            .select("user_id", F.col("__b.event_id").alias("event_id"),
+                    F.col("__b.event_type").alias("event_type")))
 
 
 @register("topk_users", """

@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide: SHJ skips both sorts;
+        # same rows, different physical operator), and let AQE rewrite
+        # SMJ→SHJ at runtime below a 64 MB local-map threshold.  Both
+        # are algorithm-selection knobs, not size-tuned constants —
+        # overridable per deployment via extra_conf/ENGINE settings.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
