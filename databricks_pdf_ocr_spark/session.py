@@ -41,15 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let the planner pick shuffled-hash over sort-merge when the
-        # per-partition build side fits (guide: SHJ skips both sorts;
-        # same rows, different physical operator), and let AQE rewrite
-        # SMJ→SHJ at runtime below a 64 MB local-map threshold.  Both
-        # are algorithm-selection knobs, not size-tuned constants —
-        # overridable per deployment via extra_conf/ENGINE settings.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                "64m")
+        # NOTE (r06): preferSortMergeJoin=false + the AQE SMJ→SHJ
+        # rewrite were tried here and REVERTED — measured at the 10x
+        # bench shape they regressed the non-equi band join 7x
+        # (band_join_error_clicks 0.7 s → 5.0 s: the banded range
+        # condition re-evaluates against every build-side hash bucket)
+        # and slowed ann_lsh/lm_bigram joins; sort-merge + AQE broadcast
+        # conversion is the right default for this engine's join mix.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
