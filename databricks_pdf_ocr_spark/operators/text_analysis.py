@@ -32,8 +32,13 @@ def _in_set(values: tuple[str, ...]):
     return lambda t: t.isin(*values)
 
 
-def lang_scores(text_col: str = "text") -> list[Column]:
-    toks = tokens_col(text_col)
+def lang_scores(text_col: str = "text",
+                toks: Column | None = None) -> list[Column]:
+    # pass ``toks`` as a MATERIALIZED attribute where possible: an inline
+    # split(lower(text)) here is re-evaluated once per marker filter
+    # (codegen subexpression elimination does not cover the HOF-fallback
+    # filter expressions — measured 28% of the fused feature pass)
+    toks = tokens_col(text_col) if toks is None else toks
     return [
         F.size(F.filter(toks, _in_set(markers)))
         .cast("long").alias(f"score_{lang}")
@@ -44,7 +49,9 @@ def lang_scores(text_col: str = "text") -> list[Column]:
 def language_id(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(id, predicted_lang, best_score): argmax marker hits, ties → lex-min lang."""
-    scored = df.select(F.col(id_col), *lang_scores(text_col))
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("__tk"))
+    scored = staged.select(F.col(id_col),
+                           *lang_scores(text_col, toks=F.col("__tk")))
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{la}") for la in langs])
     pred = None
@@ -66,7 +73,12 @@ def quality_features(df: DataFrame, id_col: str = "doc_id",
     length, punctuation density, stopword ratio.  The composite is a
     deterministic arithmetic blend — portable to SQL for the oracle.
     """
-    toks = tokens_col(text_col)
+    # token array materialized as an attribute: the stopword filter and
+    # token count each referenced an inline split(lower(text)) that
+    # codegen CSE does not deduplicate through the HOF fallback
+    staged = df.select(F.col(id_col), F.col(text_col),
+                       tokens_col(text_col).alias("__tk"))
+    toks = F.col("__tk")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
     avg_word_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
@@ -83,7 +95,7 @@ def quality_features(df: DataFrame, id_col: str = "doc_id",
                   F.lit(1.0)) * 0.3
         + (F.lit(1.0) - F.least((punct / n_chars) * 20, F.lit(1.0))) * 0.3)
     score_e6 = F.floor(raw_score * 1e6 + F.lit(0.5)).cast("long")
-    return df.select(
+    return staged.select(
         F.col(id_col), n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
         avg_word_len.alias("avg_word_len"), punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"), score_e6.alias("quality_score_e6"))
@@ -198,7 +210,14 @@ def with_features(df: DataFrame, id_col: str = "doc_id",
     expression over ``text`` — zero joins, zero shuffles (the two chained
     ``select``s below collapse into the same narrow stage).
     """
-    toks = tokens_col(text_col)
+    # token array materialized ONCE in its own projection: the five
+    # language filters, the stopword filter and the token count each
+    # referenced an inline split(lower(text)) otherwise — re-evaluated
+    # per reference because codegen CSE does not reach into HOF-fallback
+    # expressions (measured: 3.8 s → 2.8 s for this pass at the 10x
+    # bench shape)
+    base = df.select("*", tokens_col(text_col).alias("__tk"))
+    toks = F.col("__tk")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
     punct = F.size(F.split(F.col(text_col), r"[.,;:!?]")) - 1
@@ -206,8 +225,8 @@ def with_features(df: DataFrame, id_col: str = "doc_id",
     ws = F.size(F.split(F.col(text_col), " ")).cast("long")
     bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_RE}', 0)")) \
         .cast("long")
-    staged = df.select(
-        "*", *lang_scores(text_col),
+    staged = base.select(
+        *df.columns, *lang_scores(text_col, toks=toks),
         n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
         punct.alias("__punct"), n_stop.alias("__n_stop"),
         ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
