@@ -205,6 +205,18 @@ def run_curate(spark, args) -> dict:
         sampled = text_analysis.pii_redact(sampled, replace_text=True)
         extra_stats["redact_pii"] = True
 
+    # cluster the output before the partitioned write (guide §6): without
+    # this every upstream task writes a sliver into every language dir
+    # (~tasks × strata tiny files + their commit overhead).  The
+    # deterministic sub-split key (xxhash64, retry-safe) caps files per
+    # stratum while keeping write parallelism — scale the constant with
+    # the per-stratum output size in production.
+    files_per_stratum = 4
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sampled = sampled.repartition(
+        n_shuffle, F.col("predicted_lang"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(files_per_stratum)))
+
     from pyspark.sql import Observation
     obs = Observation("curate")
     sampled = sampled.observe(
