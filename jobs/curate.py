@@ -102,6 +102,18 @@ def run_curate(spark, args) -> dict:
                  .filter(F.col("badwords_kept") == 1).drop("badwords_kept"))
         extra_stats["badwords_max_e6"] = args.badwords_max_e6
 
+    # -- the optional learned-gate/DSIR stages each consume ``gated``
+    # several times (train + join-back); materialize it for them.  The
+    # default ladder skips this: there ``gated`` has exactly one
+    # downstream consumer (the exact-dedup window) and a persist would
+    # add a materialization pass for nothing — the multi-consumer
+    # intermediate of the default ladder is ``exact_kept`` below.
+    from pyspark import StorageLevel
+    __persisted = []
+    if args.learned_gate_min > 0 or args.dsir_keep_pct > 0:
+        gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
+        __persisted.append(gated)
+
     # -- optional learned quality gate: distill the heuristic rule into the
     # hashed feature space (train on high-heuristic-quality docs as weak
     # positives, the CCNet/GPT-3 curated-vs-crawl pattern) and drop docs
@@ -131,16 +143,6 @@ def run_curate(spark, args) -> dict:
         gated = w.filter(F.col("logw") >= cutoff).drop("logw")
         extra_stats["dsir_cutoff"] = round(cutoff, 3)
         extra_stats["dsir_keep_pct"] = args.dsir_keep_pct
-
-    # -- materialize the gated corpus ONCE: every downstream stage (exact
-    # dedup, LSH signatures, Jaccard verification shingles, the survivor
-    # anti-join, the final write) re-derives it otherwise — at bench scale
-    # that re-ran the span-concat + fused-feature pass ~6x per job
-    # (measured via the repeated scan subtrees in the physical plan).
-    # MEMORY_AND_DISK: spills instead of OOMing at corpus scale; this is
-    # in-run reuse of a timed intermediate, not cross-run caching.
-    from pyspark import StorageLevel
-    gated = gated.persist(StorageLevel.MEMORY_AND_DISK)
 
     # -- exact dedup: canonical copy per content hash — ONE shuffle: the
     # per-hash min(doc_id) as a whole-partition window (no orderBy → no
@@ -225,8 +227,8 @@ def run_curate(spark, args) -> dict:
         F.sum("bpe_tokens").alias("bpe_tokens"))
     (sampled.write.mode("overwrite").partitionBy("predicted_lang")
      .parquet(args.out))
-    gated.unpersist()
-    exact_kept.unpersist()
+    for __df in (*__persisted, exact_kept):
+        __df.unpersist()
 
     stats = {"out": args.out, **{k: obs.get[k]
                                  for k in ("docs", "ws_tokens", "bpe_tokens")},
