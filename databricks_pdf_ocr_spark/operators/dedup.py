@@ -615,22 +615,27 @@ def neardup_components(pairs: DataFrame, a_col: str = "doc_a",
     ``{"rounds": <improvement rounds run>}`` — the bench/round-count
     assertion hook.
     """
+    # materialize the pair set ONCE before anything else: the symmetric
+    # edge union below reads it from BOTH branches, so an unmaterialized
+    # verified-pair subtree (two shingle joins + array_intersect) would
+    # execute twice; and a known-empty pair set — the common clean-corpus
+    # case, already short-circuited to a materialized empty upstream —
+    # now skips the union/distinct/persist machinery outright instead of
+    # running ~4 empty shuffle jobs per curate (r06 measurement).
+    pairs = pairs.localCheckpoint()
+    if pairs.isEmpty():
+        from pyspark.sql import types as T
+        if stats is not None:
+            stats["rounds"] = 0
+        t = pairs.schema[a_col].dataType
+        return pairs.sparkSession.createDataFrame(
+            [], T.StructType([T.StructField("node", t),
+                              T.StructField("comp", t)]))
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (edges.union(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
              .distinct().persist())
     try:
-        # control-plane scalar that also primes the edge cache; a dup-free
-        # corpus (the common case) skips the propagation loop's ~4 Spark
-        # jobs entirely
-        if edges.count() == 0:
-            from pyspark.sql import types as T
-            if stats is not None:
-                stats["rounds"] = 0
-            t = pairs.schema[a_col].dataType
-            return pairs.sparkSession.createDataFrame(
-                [], T.StructType([T.StructField("node", t),
-                                  T.StructField("comp", t)]))
         # eager localCheckpoint: materializes AND truncates plan lineage
         labels = (edges.select(F.col("src").alias("node")).distinct()
                   .withColumn("comp", F.col("node")).localCheckpoint())
