@@ -56,8 +56,13 @@ def main() -> int:
                 fam = k.split("_", 1)[1]
                 leg = leg.withColumn(k, F.col(k) + F.lit(c * strides[fam]))
             if table == "documents" and c > 0:
-                # deterministic per-copy word permutation: copies share a
-                # vocabulary but are nowhere near-duplicates
+                # deterministic per-(doc, copy) word permutation: copies
+                # share a vocabulary but are nowhere near-duplicates.  The
+                # sort key MUST include doc_id — keying on (word, copy)
+                # alone gives every doc in a copy the same relative word
+                # order, and the shared shingle subsequences explode LSH
+                # band collisions ~30000x (measured: 21.9M candidate
+                # pairs vs the ~8k a real 10x corpus would produce).
                 perm = F.array_join(
                     F.transform(
                         F.array_sort(F.transform(
@@ -83,8 +88,16 @@ def main() -> int:
 
 
 def _keyed(c: int):
-    def f(w):
-        return F.struct(F.xxhash64(w, F.lit(c)).alias("h"), w.alias("w"))
+    def f(w, i):
+        # DELIBERATE two-param lambda: the 2nd param is the element
+        # index.  The position must be in the key — keying on the word
+        # value alone SORTS (clusters duplicate words into runs, and the
+        # shared repeated-word shingles still collide ~2500x); with the
+        # index every element gets a distinct key and the result is a
+        # true per-(doc, copy) shuffle.  doc_id is an outer attribute
+        # reference (cheap per element).
+        return F.struct(F.xxhash64(w, i, F.col("doc_id"), F.lit(c))
+                        .alias("h"), w.alias("w"))
     return f
 
 
