@@ -215,18 +215,30 @@ def with_features(df: DataFrame, id_col: str = "doc_id",
     # referenced an inline split(lower(text)) otherwise — re-evaluated
     # per reference because codegen CSE does not reach into HOF-fallback
     # expressions (measured: 3.8 s → 2.8 s for this pass at the 10x
-    # bench shape)
+    # bench shape).  A second materialized projection (__mk) pre-filters
+    # the tokens to the UNION of every marker/stopword set in ONE pass:
+    # the 35-value isin crosses the InSet threshold (hash-set lookup per
+    # token), and the six per-set HOF filters then traverse only the
+    # surviving tokens instead of the full array six times.  Each final
+    # set is a subset of the union, so filter∘filter ≡ filter — counts
+    # identical (measured: lang+stopword filters 0.77 s → ~0.3 s over
+    # 20k bench docs).
+    all_markers = tuple(sorted(
+        {m for ms in LANG_MARKERS.values() for m in ms} | set(_STOPWORDS)))
     base = df.select("*", tokens_col(text_col).alias("__tk"))
+    base = base.select("*", F.filter(F.col("__tk"),
+                                     _in_set(all_markers)).alias("__mk"))
     toks = F.col("__tk")
+    marked = F.col("__mk")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
     punct = F.size(F.split(F.col(text_col), r"[.,;:!?]")) - 1
-    n_stop = F.size(F.filter(toks, _in_set(_STOPWORDS))).cast("long")
+    n_stop = F.size(F.filter(marked, _in_set(_STOPWORDS))).cast("long")
     ws = F.size(F.split(F.col(text_col), " ")).cast("long")
     bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_RE}', 0)")) \
         .cast("long")
     staged = base.select(
-        *df.columns, *lang_scores(text_col, toks=toks),
+        *df.columns, *lang_scores(text_col, toks=marked),
         n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
         punct.alias("__punct"), n_stop.alias("__n_stop"),
         ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
