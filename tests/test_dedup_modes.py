@@ -77,6 +77,21 @@ def test_modes_agree_true_on_dup_free_corpus(spark, tmp_path):
     assert out[0]["modes_agree"] is True
 
 
+def test_neardup_components_empty_pairs(spark):
+    """An empty pair set (the common clean-corpus case) must return an
+    empty (node, comp) frame with the pair id type, report rounds=0, and
+    take the fast path regardless of whether the input is lazy or
+    already materialized (the r06 pairs-first localCheckpoint)."""
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    for pairs in (empty, empty.localCheckpoint()):
+        st = {}
+        out = dedup.neardup_components(pairs, stats=st)
+        assert out.columns == ["node", "comp"]
+        assert out.schema["node"].dataType.simpleString() == "string"
+        assert out.count() == 0
+        assert st["rounds"] == 0
+
+
 def test_neardup_components_transitive_chain(spark):
     """a~b and b~c (no a~c pair) must land in ONE component labeled by
     the smallest id; disjoint pairs stay separate; converges and raises
